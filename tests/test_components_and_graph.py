@@ -1,0 +1,105 @@
+"""Connected components (G7), symmetric closure (G1), BFS regions (G2),
+eval metrics (J6/A4/A5)."""
+
+from ontoemma_spark.operators.components import connected_components
+from ontoemma_spark.operators.evaluate import (
+    candidates_eval_at_k,
+    hard_negatives,
+    missed_gold,
+    precision_recall_f1,
+)
+from ontoemma_spark.operators.graph import bfs_region, merge_entities, symmetric_closure
+
+
+def test_connected_components_two_chains_and_singleton_edgeless(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_long_chain(spark):
+    # worst case for min-label propagation: a path graph
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(15)], "src string, dst string"
+    )
+    got = connected_components(edges).collect()
+    assert all(r["component"] == "n00" for r in got)
+    assert len(got) == 16
+
+
+def test_symmetric_closure(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "PAR", False, None), ("c", "d", "xyz", False, None)],
+        "subject_id string, object_id string, relation_type string, symmetric boolean, labels array<string>",
+    )
+    got = {
+        (r["subject_id"], r["object_id"], r["relation_type"])
+        for r in symmetric_closure(edges).collect()
+    }
+    # PAR gets reversed CHD (kb_utils_refactor.py:425-456); xyz has no inverse
+    assert got == {("a", "b", "PAR"), ("b", "a", "CHD"), ("c", "d", "xyz")}
+
+
+def test_bfs_region_two_hops(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "is_a", False, None), ("b", "c", "is_a", False, None),
+         ("c", "d", "is_a", False, None), ("a", "c", "part_of", False, None)],
+        "subject_id string, object_id string, relation_type string, symmetric boolean, labels array<string>",
+    )
+    seeds = spark.createDataFrame([("a",)], "seed string")
+    got = {(r["node"]): r["path_len"] for r in bfs_region(edges, seeds, steps=2).collect()}
+    # c reachable at hop 1 (direct part_of) — first-visit keeps 1
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_precision_recall_f1(spark):
+    pred = spark.createDataFrame([("a", "x"), ("b", "y"), ("c", "z")], "s_id string, t_id string")
+    gold = spark.createDataFrame([("a", "x"), ("b", "q"), ("d", "w"), ("b", "y")], "s_id string, t_id string")
+    row = precision_recall_f1(pred, gold).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 2)
+    assert abs(row["precision"] - 2 / 3) < 1e-12
+    assert abs(row["recall"] - 0.5) < 1e-12
+    assert missed_gold(pred, gold).count() == 2
+
+
+def test_candidates_eval_at_k(spark):
+    cands = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "z", 1), ("z", "q", 1)],
+        "s_id string, t_id string, rank int",
+    )
+    gold = spark.createDataFrame([("a", "y"), ("b", "z")], "s_id string, t_id string")
+    rows = {r["k"]: r for r in candidates_eval_at_k(cands, gold, top_ks=[1, 2]).collect()}
+    # k=1: a→x (miss), b→z (hit); source z not in gold → excluded
+    assert rows[1]["cand_count"] == 2 and rows[1]["pos_count"] == 1
+    assert rows[2]["cand_count"] == 3 and rows[2]["pos_count"] == 2
+    assert abs(rows[2]["recall_at_k"] - 1.0) < 1e-12
+
+
+def test_hard_negatives(spark):
+    cands = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("a", "w", 3), ("b", "z", 1)],
+        "s_id string, t_id string, rank int",
+    )
+    pos = spark.createDataFrame([("a", "x")], "s_id string, t_id string")
+    got = [(r["s_id"], r["t_id"]) for r in hard_negatives(cands, pos, per_source=1).collect()]
+    assert got == [("a", "y")]  # top-ranked non-gold for gold source a
+
+
+def test_merge_entities(spark):
+    ents = spark.createDataFrame(
+        [
+            ("KB:2", "beta", ["beta"], "dB", [], None, [], None, "k1"),
+            ("KB:1", "alpha", ["alpha", "a"], "dA", [], None, [], None, "k1"),
+            ("KB:3", "gamma", ["gamma"], "dC", [], None, [], None, "k2"),
+        ],
+        "research_entity_id string, canonical_name string, aliases array<string>, definition string,"
+        " source_urls array<string>, category string, other_contexts array<string>,"
+        " additional_details map<string,array<string>>, mkey string",
+    )
+    got = {r["mkey"]: r for r in merge_entities(ents, "mkey").collect()}
+    # '|'-joined sorted distinct ids (kb_utils_refactor.py:358-362)
+    assert got["k1"]["research_entity_id"] == "KB:1|KB:2"
+    assert got["k1"]["aliases"] == ["a", "alpha", "beta"]
+    assert got["k2"]["research_entity_id"] == "KB:3"
