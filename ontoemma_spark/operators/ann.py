@@ -1,0 +1,104 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine is the exactness baseline (native zip_with/aggregate
+column math — JVM-side, no Python); the LSH-bucketed variant is the
+scale path: random-hyperplane signatures shrink the candidate set from
+N to the bucket population before exact rescoring (the same
+block-then-score shape as the reference's candidate selection,
+emma/CandidateSelection.py — cheap blocking, exact scoring).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — left-to-right aggregate (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_scores_vs_query(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cos) of every row against a fixed query vector. The
+    query travels as a literal array → broadcast-free narrow map."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), cosine(F.col(vec_col), q).alias("cos")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine (desc, id tiebreak)."""
+    scored = cosine_scores_vs_query(embeddings, query_vec, id_col, vec_col)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (no RNG state: values
+    derived from a hash-like integer recurrence)."""
+    vals = []
+    x = (seed * 2654435761 + 97531) & 0xFFFFFFFF
+    for _ in range(dim):
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        vals.append((x / 0xFFFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: random-hyperplane LSH. Rows sharing the query's sign
+    signature form the candidate bucket; exact cosine rescoring inside.
+    At 10^12 rows the bucket column becomes the table's partition key so
+    the probe prunes partitions instead of scanning."""
+    dim = len(query_vec)
+    planes = [_hyperplane(dim, s) for s in range(num_planes)]
+
+    def signature(vec: Column) -> Column:
+        bits = [
+            F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, "1").otherwise("0")
+            for plane in planes
+        ]
+        return F.concat(*bits)
+
+    q_sig_bits = "".join(
+        "1" if sum(p * v for p, v in zip(plane, query_vec)) >= 0 else "0" for plane in planes
+    )
+    bucketed = embeddings.withColumn("sig", signature(F.col(vec_col)))
+    candidates = bucketed.filter(F.col("sig") == q_sig_bits)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

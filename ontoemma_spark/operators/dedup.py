@@ -1,0 +1,160 @@
+"""Large-scale training-data deduplication operators over a documents
+table (doc_id, text, ...).
+
+These are the web-scale companions of the reference's alias-set exact
+matching (emma/OntoEmma.py:506-540) and n-gram blocking
+(emma/CandidateSelection.py:67-71) — dedup at corpus scale instead of
+entity scale.
+
+Hash choice: md5 (hex string) everywhere. Reason: md5 is available with
+identical output in Spark, DuckDB, and Python, so every operator here is
+oracle-checkable bit-for-bit; and MinHash only needs an order-preserving
+uniform hash, which lexicographic min over md5 hex provides.
+
+Scale notes:
+  * exact dedup: one hash-groupBy, map-side combinable.
+  * shingling: narrow (posexplode + window per doc; window is within a
+    partition keyed by doc — no cross-doc shuffle beyond the groupBys).
+  * MinHash/LSH: per-doc signatures aggregate map-side; the band join is
+    an equi-join on band hash (bounded fan-out by construction).
+  * pairwise n-gram jaccard: the shared-shingle self-join is the skewed
+    path; stopword-like shingles should be prefiltered at scale (df cap)
+    — exposed as max_shingle_df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle): w-word shingles via posexplode + lead window —
+    a construction with an exact SQL twin (unnest WITH ORDINALITY +
+    lead) for oracle parity."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
+    sh = toks.select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle"),
+        *[F.lead("tok", w - 1).over(win).alias("_last")],
+    ).filter(F.col("_last").isNotNull()).drop("_last")
+    return sh.distinct() if distinct else sh
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    representative (min id) and duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per doc: num_hashes MinHash values, hash_k = min(md5(k || ':' ||
+    shingle)) — lexicographic min over the md5 hex string is a valid
+    min-wise hash family member per seed k."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 2
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and bucket-join:
+    pairs agreeing on ANY full band are near-duplicate candidates.
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc_id", *band_cols)
+    stacked = None
+    for b in range(bands):
+        part = banded.select(
+            "doc_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
+        )
+        stacked = part if stacked is None else stacked.union(part)
+    a = stacked.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    b_side = stacked.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b_side, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_bits(shingles_or_tokens: DataFrame, num_bits: int = 16) -> DataFrame:
+    """SimHash over the first num_bits bits of md5 (one hex nibble's high
+    bit per position): bit_i = 1 iff Σ_tokens (nibble_i ≥ 8 ? +1 : -1) > 0.
+    Returns (doc_id, simhash) with simhash as a bit string — hex-nibble
+    construction keeps the SQL oracle identical."""
+    col = "shingle" if "shingle" in shingles_or_tokens.columns else "token"
+    h = F.md5(F.col(col))
+    sums = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(num_bits)
+    ]
+    agg = shingles_or_tokens.groupBy("doc_id").agg(*sums)
+    bits = F.concat(*[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(num_bits)])
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairwise Jaccard over distinct shingle sets, blocked by shared
+    shingles: J = |∩| / (|A| + |B| - |∩|). max_shingle_df drops
+    stop-shingles before the self-join (the skew guard at scale)."""
+    sh = shingles
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        sh = sh.join(df_counts.filter(F.col("sdf") <= max_shingle_df), "shingle").drop("sdf")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,114 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All native column math with exact SQL twins (the lang profiles are
+pinned Python constants that both the Spark plan and the generated
+oracle SQL literalize from, so they cannot drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontoemma_spark.functions.stopwords import ENGLISH_STOPWORDS_SORTED
+
+# Mini function-word profiles (pinned; top function words per language).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "en", "por"),
+}
+
+
+def whitespace_tokens(text_col) -> F.Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per doc: whitespace token count, BPE-ish subword-regex token count
+    (word pieces = letter runs / digit runs / single punctuation), chars."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(whitespace_tokens(text_col)).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).cast("bigint").alias("re_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Function-word-ratio language ID: per language, the fraction of
+    tokens present in that language's profile; predicted language =
+    argmax (profile order tiebreak via greatest-chain determinism)."""
+    toks = whitespace_tokens(text_col)
+    n = F.size(toks)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))) / n
+        for lang, words in LANG_PROFILES.items()
+    }
+    # deterministic argmax: fold over fixed lang order, strict > keeps first
+    langs = list(LANG_PROFILES)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, alpha ratio, distinct-token ratio + a combined [0,1] score
+    (the C4/Gopher-style cheap filters)."""
+    toks = whitespace_tokens(text_col)
+    n_toks = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS_SORTED])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_toks
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    ) / n_toks
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+        / F.length(text_col)
+    )
+    score = (
+        F.when(n_toks >= 20, 0.25).otherwise(0.0)
+        + F.when((mean_len >= 3) & (mean_len <= 10), 0.25).otherwise(0.0)
+        + F.when(stop_ratio <= 0.5, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def document_fingerprints(
+    shingles: DataFrame, k: int = 3
+) -> DataFrame:
+    """Winnowing-lite fingerprint: the k lexicographically-smallest
+    md5(shingle) values per doc, '|'-joined — a stable content sketch
+    robust to local edits. Input: (doc_id, shingle) distinct."""
+    hashed = shingles.select("doc_id", F.md5("shingle").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("h")), "|").alias("fingerprint"))
+    )

@@ -1,0 +1,955 @@
+"""Driver-contract demo queries: every implemented operator from
+SURVEY.md §2 demonstrated over the TPC-H-ish testdata tables, each with
+an exact ANSI-SQL (DuckDB) oracle.
+
+Design rules for oracle parity (the driver hash-compares values):
+  * identical column names/aliases in both engines;
+  * integers cast to BIGINT on both sides;
+  * doubles rounded to 6 (or 4) decimals on both sides;
+  * only constructs with identical semantics in Spark SQL and DuckDB
+    (md5, lead/row_number windows, ln, concat_ws, list/array filters);
+  * shared constants (stopword list, lang profiles, thresholds) are
+    literalized into the SQL from the same Python objects — no drift.
+
+Each query's docstring cites the SURVEY §2 operator ids it covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ontoemma_spark import config
+from ontoemma_spark.functions.stopwords import ENGLISH_STOPWORDS_SORTED
+from ontoemma_spark.functions.text import canonicalize, normalize_string, tokenize
+from ontoemma_spark.operators import dedup as D
+from ontoemma_spark.operators import textstats as T
+from ontoemma_spark.operators.ann import cosine_scores_vs_query
+from ontoemma_spark.operators.components import connected_components
+from ontoemma_spark.operators.graph import symmetric_closure
+from ontoemma_spark.operators.strategy import best_alignment
+
+# ---------------------------------------------------------------------------
+# shared constants (Python is the single source of truth; SQL literals are
+# generated from these)
+# ---------------------------------------------------------------------------
+
+DEMO_IDF_LIMIT = 2.0794415416798357  # ln(8); the reference ln(20) floor would
+# void the 16-token part-name vocabulary — same predicate, demo-scaled value.
+BLOCK_TOP_K = 10
+SHINGLE_W = 2
+NUM_MINHASHES = 4
+JACCARD_MIN = 0.5
+EVENT_PRIORITY = ["signup", "purchase", "click", "view", "error"]  # TTY-rank analog
+
+_STOP_SQL = "(" + ",".join("'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS_SORTED) + ")"
+_STOP_LIST_SQL = "[" + ",".join("'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS_SORTED) + "]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. kb_normalize — P1 (normalize_kb), F1/F2/F3 (clean/normalize/tokenize)
+# ---------------------------------------------------------------------------
+
+def q_kb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F1/F2/F3: per-entity normalization projection (SURVEY §2.2)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").cast("bigint").alias("entity_id"),
+        normalize_string("p_name").alias("norm_name"),
+        canonicalize("p_name").alias("canon_name"),
+        F.size(tokenize("p_name")).cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_KB_NORMALIZE = f"""
+SELECT CAST(p_partkey AS BIGINT) AS entity_id,
+       translate(lower(trim(p_name)), '_-', ' ') AS norm_name,
+       lower(regexp_replace(p_name, '[^a-zA-Z0-9 ]+', '', 'g')) AS canon_name,
+       CAST(len(list_filter(regexp_extract_all(p_name, '[A-Za-z0-9]+'),
+                            t -> NOT list_contains({_STOP_LIST_SQL}, t))) AS BIGINT) AS n_tokens
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. token_idf — A1 (document frequency / IDF)
+# ---------------------------------------------------------------------------
+
+def q_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: idf(token) = ln(N/df + 1) over part-name tokens (SURVEY §2.4)."""
+    part = _t(spark, sf_dir, "part")
+    n = part.select(F.count(F.lit(1)).alias("n"))
+    toks = part.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("token")
+    ).distinct()
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("token", "df", F.round(F.log(F.col("n") / F.col("df") + 1), 6).alias("idf"))
+    )
+
+
+SQL_TOKEN_IDF = """
+WITH toks AS (
+  SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part
+), n AS (SELECT count(*) AS n FROM part)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       round(ln((SELECT n FROM n) / count(*) + 1), 6) AS idf
+FROM toks GROUP BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. blocking_candidates — J1/J2/P4/A2/W2 (the inverted-index candidate join)
+# ---------------------------------------------------------------------------
+
+_BLOCK_SQL_CTES = f"""
+WITH s_tok AS (
+  SELECT DISTINCT p_partkey AS s_id, unnest(string_split(p_name, ' ')) AS token
+  FROM part WHERE p_partkey % 2 = 0
+), t_tok AS (
+  SELECT DISTINCT p_partkey AS t_id, unnest(string_split(p_name, ' ')) AS token
+  FROM part WHERE p_partkey % 2 = 1
+), s_n AS (SELECT count(*) AS n FROM part WHERE p_partkey % 2 = 0),
+t_n AS (SELECT count(*) AS n FROM part WHERE p_partkey % 2 = 1),
+s_idf AS (
+  SELECT token, ln((SELECT n FROM s_n) / count(*) + 1) AS s_idf FROM s_tok GROUP BY token
+), t_idf AS (
+  SELECT token, ln((SELECT n FROM t_n) / count(*) + 1) AS t_idf FROM t_tok GROUP BY token
+), vocab AS (
+  SELECT s_idf.token, s_idf.s_idf, t_idf.t_idf FROM s_idf JOIN t_idf USING (token)
+  WHERE s_idf.s_idf >= {DEMO_IDF_LIMIT!r} AND t_idf.t_idf >= {DEMO_IDF_LIMIT!r}
+), pairs AS (
+  SELECT s_tok.s_id, t_tok.t_id, sum(vocab.t_idf) AS cand_score
+  FROM s_tok JOIN vocab USING (token) JOIN t_tok USING (token)
+  GROUP BY s_tok.s_id, t_tok.t_id
+), ranked AS (
+  SELECT s_id, t_id, cand_score,
+         row_number() OVER (PARTITION BY s_id ORDER BY cand_score DESC, t_id ASC) AS rank
+  FROM pairs
+)
+"""
+
+
+def _blocking_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontoemma_spark.operators.blocking import candidate_pairs
+
+    part = _t(spark, sf_dir, "part")
+    s = part.filter(F.col("p_partkey") % 2 == 0)
+    t = part.filter(F.col("p_partkey") % 2 == 1)
+    s_tokens = s.select(
+        F.col("p_partkey").alias("entity_id"), F.explode(F.split("p_name", " ")).alias("token")
+    ).distinct()
+    t_tokens = t.select(
+        F.col("p_partkey").alias("entity_id"), F.explode(F.split("p_name", " ")).alias("token")
+    ).distinct()
+    return candidate_pairs(
+        s_tokens, t_tokens, s.count(), t.count(),
+        idf_limit=DEMO_IDF_LIMIT, top_k=BLOCK_TOP_K,
+    )
+
+
+def q_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/P4/A2/W2: IDF-filtered token blocking join + top-K window
+    (SURVEY §2.3/§2.5) — the skew-critical join of the north rule."""
+    c = _blocking_candidates_df(spark, sf_dir)
+    return c.select(
+        F.col("s_id").cast("bigint"),
+        F.col("t_id").cast("bigint"),
+        F.round("cand_score", 6).alias("cand_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_BLOCKING_CANDIDATES = _BLOCK_SQL_CTES + f"""
+SELECT CAST(s_id AS BIGINT) AS s_id, CAST(t_id AS BIGINT) AS t_id,
+       round(cand_score, 6) AS cand_score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BLOCK_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. best_match — W1/G5 (argmax per source with threshold + tiebreak)
+# ---------------------------------------------------------------------------
+
+def q_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/G5: best candidate per source ≥ relative threshold 0.5
+    (SURVEY §2.5); scores normalized by the global max."""
+    c = _blocking_candidates_df(spark, sf_dir)
+    gmax = c.select(F.max("cand_score").alias("m"))
+    scores = c.crossJoin(F.broadcast(gmax)).select(
+        "s_id", "t_id", (F.col("cand_score") / F.col("m")).alias("score")
+    )
+    best = best_alignment(scores, threshold=0.5)
+    return best.select(
+        F.col("s_id").cast("bigint"), F.col("t_id").cast("bigint"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_BEST_MATCH = _BLOCK_SQL_CTES + f"""
+, kept AS (SELECT * FROM ranked WHERE rank <= {BLOCK_TOP_K}),
+scored AS (
+  SELECT s_id, t_id, cand_score / (SELECT max(cand_score) FROM kept) AS score FROM kept
+), best AS (
+  SELECT s_id, t_id, score,
+         row_number() OVER (PARTITION BY s_id ORDER BY score DESC, t_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(s_id AS BIGINT) AS s_id, CAST(t_id AS BIGINT) AS t_id, round(score, 6) AS score
+FROM best WHERE rn = 1 AND score >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. string_equiv — J3 (normalized-alias equivalence join)
+# ---------------------------------------------------------------------------
+
+def q_string_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: normalized-name equality join between the even/odd KB halves,
+    bounded to s_id < 200 (SURVEY §2.3). Score is the constant 1.0."""
+    part = _t(spark, sf_dir, "part")
+    norm = F.translate(F.lower(F.col("p_name")), "_-", " ")
+    s = part.filter((F.col("p_partkey") % 2 == 0) & (F.col("p_partkey") < 200)).select(
+        F.col("p_partkey").alias("s_id"), norm.alias("norm_name")
+    )
+    t = part.filter(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("t_id"), norm.alias("norm_name")
+    )
+    return (
+        s.join(t, "norm_name")
+        .select(
+            F.col("s_id").cast("bigint"), F.col("t_id").cast("bigint"),
+            F.lit(1.0).alias("score"),
+        )
+        .distinct()
+    )
+
+
+SQL_STRING_EQUIV = """
+WITH s AS (
+  SELECT p_partkey AS s_id, translate(lower(p_name), '_-', ' ') AS norm_name
+  FROM part WHERE p_partkey % 2 = 0 AND p_partkey < 200
+), t AS (
+  SELECT p_partkey AS t_id, translate(lower(p_name), '_-', ' ') AS norm_name
+  FROM part WHERE p_partkey % 2 = 1
+)
+SELECT DISTINCT CAST(s_id AS BIGINT) AS s_id, CAST(t_id AS BIGINT) AS t_id,
+       1.0::DOUBLE AS score
+FROM s JOIN t USING (norm_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. symmetric_closure — G1
+# ---------------------------------------------------------------------------
+
+def q_symmetric_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: add inverse edges for invertible relation types (SURVEY §2.10).
+    Edges: nation --PAR--> region (parent), closure adds region --CHD--> nation."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    edges = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("n_name").alias("subject_id"),
+            F.col("r_name").alias("object_id"),
+            F.lit("PAR").alias("relation_type"),
+            F.lit(False).alias("symmetric"),
+            F.lit(None).cast("array<string>").alias("labels"),
+        )
+    )
+    return symmetric_closure(edges)
+
+
+SQL_SYMMETRIC_CLOSURE = """
+WITH e AS (
+  SELECT n_name AS subject_id, r_name AS object_id, 'PAR' AS relation_type
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT DISTINCT subject_id, object_id, relation_type FROM (
+  SELECT * FROM e
+  UNION ALL
+  SELECT object_id AS subject_id, subject_id AS object_id, 'CHD' AS relation_type FROM e
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. merge_entities — A8/O4 (canonical '|'-joined sorted id)
+# ---------------------------------------------------------------------------
+
+def q_merge_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/O4: merge duplicate entities per key; canonical id =
+    '|'-joined sorted distinct member ids (kb_utils_refactor.py:358-362)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return cust.groupBy(F.col("c_mktsegment").alias("merge_key")).agg(
+        F.array_join(F.array_sort(F.collect_set("c_name")), "|").alias("merged_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+
+
+SQL_MERGE_ENTITIES = """
+SELECT c_mktsegment AS merge_key,
+       string_agg(DISTINCT c_name, '|' ORDER BY c_name) AS merged_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM customer WHERE c_custkey < 50 GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. prf1_eval — J6/A4 (alignment vs gold P/R/F1)
+# ---------------------------------------------------------------------------
+
+def q_prf1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A4: TP/FP/FN + P/R/F1 as one row (OntoEmma.py:875-950 shape).
+    pred = rich customers, gold = custkey ≡ 0 (mod 3)."""
+    cust = _t(spark, sf_dir, "customer")
+    pred = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    gold = cust.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    tp = pred.join(gold, "c_custkey", "left_semi").count()
+    np_, ng = pred.count(), gold.count()
+    p = tp / np_ if np_ else 0.0
+    r = tp / ng if ng else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return spark.createDataFrame(
+        [(tp, np_ - tp, ng - tp, round(p, 6), round(r, 6), round(f1, 6))],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )
+
+
+SQL_PRF1_EVAL = """
+WITH pred AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+gold AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+m AS (
+  SELECT (SELECT count(*) FROM pred WHERE c_custkey IN (SELECT c_custkey FROM gold)) AS tp,
+         (SELECT count(*) FROM pred) AS np, (SELECT count(*) FROM gold) AS ng
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(np - tp AS BIGINT) AS fp, CAST(ng - tp AS BIGINT) AS fn,
+       round(tp / np, 6) AS precision, round(tp / ng, 6) AS recall,
+       round(CASE WHEN tp = 0 THEN 0.0 ELSE 2.0 * (tp/np) * (tp/ng) / (tp/np + tp/ng) END, 6) AS f1
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. missed_gold — E2/S15 (gold \ predicted anti-join)
+# ---------------------------------------------------------------------------
+
+def q_missed_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/S15: gold pairs the aligner missed. gold = (e, e+1) diagonal;
+    predicted = string-equiv pairs of q5."""
+    pred = q_string_equiv(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    gold = part.filter((F.col("p_partkey") % 2 == 0) & (F.col("p_partkey") < 200)).select(
+        F.col("p_partkey").cast("bigint").alias("s_id"),
+        (F.col("p_partkey") + 1).cast("bigint").alias("t_id"),
+    )
+    return gold.join(pred.select("s_id", "t_id"), ["s_id", "t_id"], "left_anti")
+
+
+SQL_MISSED_GOLD = """
+WITH s AS (
+  SELECT p_partkey AS s_id, translate(lower(p_name), '_-', ' ') AS norm_name
+  FROM part WHERE p_partkey % 2 = 0 AND p_partkey < 200
+), t AS (
+  SELECT p_partkey AS t_id, translate(lower(p_name), '_-', ' ') AS norm_name
+  FROM part WHERE p_partkey % 2 = 1
+), pred AS (
+  SELECT DISTINCT s_id, t_id FROM s JOIN t USING (norm_name)
+), gold AS (
+  SELECT p_partkey AS s_id, p_partkey + 1 AS t_id
+  FROM part WHERE p_partkey % 2 = 0 AND p_partkey < 200
+)
+SELECT CAST(g.s_id AS BIGINT) AS s_id, CAST(g.t_id AS BIGINT) AS t_id
+FROM gold g ANTI JOIN pred p ON g.s_id = p.s_id AND g.t_id = p.t_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. hard_negatives — J11/M6 (deterministic hard-negative sampling)
+# ---------------------------------------------------------------------------
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11/M6: per gold source, the single top-ranked non-gold candidate
+    (extract_training_data_from_umls.py:311-352, deterministic variant)."""
+    from ontoemma_spark.operators.evaluate import hard_negatives
+
+    cands = _blocking_candidates_df(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    gold = part.filter((F.col("p_partkey") % 2 == 0) & (F.col("p_partkey") < 200)).select(
+        F.col("p_partkey").alias("s_id"), (F.col("p_partkey") + 1).alias("t_id")
+    )
+    negs = hard_negatives(cands, gold, per_source=1)
+    return negs.select(
+        F.col("s_id").cast("bigint"), F.col("t_id").cast("bigint"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_HARD_NEGATIVES = _BLOCK_SQL_CTES + f"""
+, kept AS (SELECT * FROM ranked WHERE rank <= {BLOCK_TOP_K}),
+gold AS (
+  SELECT p_partkey AS s_id, p_partkey + 1 AS t_id
+  FROM part WHERE p_partkey % 2 = 0 AND p_partkey < 200
+), negs AS (
+  SELECT k.s_id, k.t_id, k.rank FROM kept k
+  ANTI JOIN gold g ON k.s_id = g.s_id AND k.t_id = g.t_id
+  WHERE k.s_id IN (SELECT s_id FROM gold)
+), picked AS (
+  SELECT s_id, t_id, rank, row_number() OVER (PARTITION BY s_id ORDER BY rank ASC) AS nr
+  FROM negs
+)
+SELECT CAST(s_id AS BIGINT) AS s_id, CAST(t_id AS BIGINT) AS t_id, CAST(rank AS BIGINT) AS rank
+FROM picked WHERE nr = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. concept_collapse — A6/W4 (group + priority-pick + alias dedupe)
+# ---------------------------------------------------------------------------
+
+def q_concept_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W4: collapse event rows per user: canonical type by fixed
+    priority (TTY-order analog, extract_training_data_from_umls.py:52-57,
+    196-198), sorted distinct alias set, count."""
+    events = _t(spark, sf_dir, "events")
+    rank = F.when(F.col("event_type") == EVENT_PRIORITY[0], 0)
+    for i, et in enumerate(EVENT_PRIORITY[1:], start=1):
+        rank = rank.when(F.col("event_type") == et, i)
+    rank = rank.otherwise(99)
+    return events.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.min_by("event_type", rank).alias("canonical_type"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("alias_types"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+_PRIORITY_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{et}' THEN {i}" for i, et in enumerate(EVENT_PRIORITY)
+) + " ELSE 99 END"
+
+SQL_CONCEPT_COLLAPSE = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       arg_min(event_type, {_PRIORITY_CASE}) AS canonical_type,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS alias_types,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. cui_selfjoin — J8 (atoms sharing a key → cross-source pairs, deduped)
+# ---------------------------------------------------------------------------
+
+def q_cui_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: self-join on the shared key with source1 < source2 ordering +
+    dedupe (extract_training_data_from_umls.py:145-174). Here: event
+    types co-occurring for a user."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = ev.select("user_id", F.col("event_type").alias("type_a"))
+    b = ev.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+SQL_CUI_SELFJOIN = """
+WITH ev AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(count(*) AS BIGINT) AS n_users
+FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. bfs_2hop — G2 (bounded BFS region counts)
+# ---------------------------------------------------------------------------
+
+def q_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: 2-hop region expansion region→nation→customer; nodes reached
+    per seed per hop (OntoEmma.py:452-478 semantics, aggregated)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    hop1 = region.join(nation, region["r_regionkey"] == nation["n_regionkey"]).select(
+        F.col("r_name").alias("seed"), F.lit(1).alias("path_len"),
+        F.col("n_nationkey").cast("string").alias("node"),
+    )
+    hop2 = (
+        region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
+        .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
+        .select(
+            F.col("r_name").alias("seed"), F.lit(2).alias("path_len"),
+            F.col("c_custkey").cast("string").alias("node"),
+        )
+    )
+    return (
+        hop1.union(hop2)
+        .groupBy("seed", F.col("path_len").cast("bigint").alias("path_len"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+
+
+SQL_BFS_2HOP = """
+WITH hop1 AS (
+  SELECT r_name AS seed, 1 AS path_len, CAST(n_nationkey AS VARCHAR) AS node
+  FROM region JOIN nation ON r_regionkey = n_regionkey
+), hop2 AS (
+  SELECT r_name AS seed, 2 AS path_len, CAST(c_custkey AS VARCHAR) AS node
+  FROM region JOIN nation ON r_regionkey = n_regionkey
+  JOIN customer ON n_nationkey = c_nationkey
+)
+SELECT seed, CAST(path_len AS BIGINT) AS path_len, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2) GROUP BY seed, path_len
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. connected_components — G7 (real iterative hash-min CC vs closed form)
+# ---------------------------------------------------------------------------
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: hash-min CC over the chain graph of nations within a region
+    (consecutive-by-name edges). Closed form: component = min nation
+    name per region — the oracle computes that directly; Spark runs the
+    real fixpoint loop (components.py)."""
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("src")
+    edges = (
+        nation.select("n_regionkey", F.col("n_name").alias("src"))
+        .withColumn("dst", F.lead("src", 1).over(w))
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+    cc = connected_components(edges)
+    return cc.select("node", "component")
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH sized AS (
+  SELECT n_regionkey, count(*) AS cnt FROM nation GROUP BY n_regionkey
+)
+SELECT n_name AS node,
+       min(n_name) OVER (PARTITION BY n_regionkey) AS component
+FROM nation JOIN sized USING (n_regionkey)
+WHERE sized.cnt > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. dedup_exact — content-hash exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): one row per distinct document text."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs).select(
+        "content_hash", F.col("rep_doc_id").cast("bigint").alias("rep_doc_id"),
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# shared shingle CTE (w-word shingles via lead window) for 16-19
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos, tok
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+), sh0 AS (
+  SELECT doc_id,
+         concat_ws(' ', tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS _last
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE _last IS NOT NULL
+)
+"""
+
+
+# 16. minhash_signatures — per-doc MinHash sketch
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: h_k = min(md5(k || ':' || shingle)) — bitwise
+    oracle-checkable sketch."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, w=SHINGLE_W)
+    sig = D.minhash_signatures(sh, num_hashes=NUM_MINHASHES)
+    return sig.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      *[f"h{k}" for k in range(NUM_MINHASHES)])
+
+
+SQL_MINHASH_SIGNATURES = _SHINGLE_CTE + f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(NUM_MINHASHES))}
+FROM sh GROUP BY doc_id
+"""
+
+
+# 17. lsh_dup_candidates — banded LSH join (1 row per band) + jaccard rescore
+def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (band join) rescored with exact
+    shingle jaccard, kept at ≥ JACCARD_MIN."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, w=SHINGLE_W)
+    sig = D.minhash_signatures(sh, num_hashes=NUM_MINHASHES)
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=NUM_MINHASHES)
+    scored = D.ngram_jaccard_pairs(sh, min_jaccard=JACCARD_MIN)
+    return (
+        pairs.join(scored, ["doc_a", "doc_b"])
+        .select(
+            F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+SQL_LSH_DUP_CANDIDATES = _SHINGLE_CTE + f"""
+, sig AS (
+  SELECT doc_id, {", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(NUM_MINHASHES))}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {k} AS band_idx, md5(h{k}) AS band_hash FROM sig" for k in range(NUM_MINHASHES))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= {JACCARD_MIN!r}
+)
+SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
+       round(j.jaccard, 6) AS jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+"""
+
+
+# 18. simhash — per-doc 16-bit SimHash
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16 bits from md5 nibble high-bits over distinct shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, w=SHINGLE_W)
+    return D.simhash_bits(sh).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "simhash"
+    )
+
+
+_SIMHASH_SUMS = ", ".join(
+    "sum(CASE WHEN substr(md5(shingle), {i}, 1) IN ('8','9','a','b','c','d','e','f')"
+    " THEN 1 ELSE -1 END) AS b{j}".format(i=i + 1, j=i)
+    for i in range(16)
+)
+_SIMHASH_BITS = " || ".join(f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(16))
+
+SQL_SIMHASH = _SHINGLE_CTE + f"""
+, agg AS (SELECT doc_id, {_SIMHASH_SUMS} FROM sh GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SIMHASH_BITS} AS simhash FROM agg
+"""
+
+
+# 19. ngram_jaccard_dups — exact pairwise n-gram jaccard (blocked)
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-shingle-blocked pairwise jaccard ≥ JACCARD_MIN."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, w=SHINGLE_W)
+    return D.ngram_jaccard_pairs(sh, min_jaccard=JACCARD_MIN).select(
+        F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD_DUPS = _SHINGLE_CTE + f"""
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_MIN!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20. ann_cosine — brute-force cosine vs a fixed query vector
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: cosine(embedding, query) for every
+    row, query = embedding of min(vec_id). Native zip_with/aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    return cosine_scores_vs_query(emb, qvec).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), F.round("cos", 4).alias("cos")
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(
+         list_dot_product(embedding::DOUBLE[], (SELECT qe FROM q)) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))), 4) AS cos
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# 21-23. text analysis — lang id / quality / token counts
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-ratio language ID (textstats.language_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = T.language_id(docs)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      *[c for c in out.columns if c != "doc_id"])
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "[" + ",".join(f"'{w}'" for w in T.LANG_PROFILES[lang]) + "]"
+    return (
+        f"len(list_filter(string_split(text,' '), t -> list_contains({words}, t)))"
+        f" / len(string_split(text,' ')) AS raw_{lang}"
+    )
+
+
+# argmax over RAW scores (strict >, earlier language wins ties) — must
+# match the Spark fold in textstats.language_id exactly.
+_langs = list(T.LANG_PROFILES)
+_expr = f"'{_langs[0]}'"
+_best = f"raw_{_langs[0]}"
+for _lang in _langs[1:]:
+    _expr = f"CASE WHEN raw_{_lang} > {_best} THEN '{_lang}' ELSE {_expr} END"
+    _best = f"greatest({_best}, raw_{_lang})"
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {", ".join(_lang_score_sql(lang) for lang in T.LANG_PROFILES)}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"round(raw_{lang}, 6) AS score_{lang}" for lang in T.LANG_PROFILES)},
+       {_expr} AS pred_lang
+FROM scored
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = T.quality_scores(docs)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      *[c for c in out.columns if c != "doc_id"])
+
+
+SQL_QUALITY_SCORES = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(n_toks AS BIGINT) AS n_tokens,
+         list_sum([len(t) for t in toks]) / n_toks AS mean_len,
+         len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) / n_toks AS stop_ratio,
+         len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / len(text) AS alpha_ratio,
+         len(list_distinct(toks)) / n_toks AS distinct_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, round(mean_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stopword_ratio, round(alpha_ratio, 6) AS alpha_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round((CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio <= 0.5 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+FROM feat
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.token_counts(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "ws_tokens", "re_tokens", "n_chars"
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+# 24. fingerprints — winnowing-lite document fingerprint
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, w=SHINGLE_W)
+    return T.document_fingerprints(sh, k=3).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "fingerprint"
+    )
+
+
+SQL_FINGERPRINTS = _SHINGLE_CTE + """
+, hashed AS (
+  SELECT doc_id, md5(shingle) AS h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
+  FROM sh
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(h, '|' ORDER BY h) AS fingerprint
+FROM hashed WHERE rn <= 3 GROUP BY doc_id
+"""
+
+
+# 25. media_meta — multimodal binary column metadata (native)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: byte length + content hash of the
+    utf-8-encoded document payloads (multimodal.media_metadata pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+SQL_MEDIA_META = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# 26. triple_extract — the extract stage's pattern extractor (SQL twin)
+def q_triple_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract-stage demo: synthesize 'X is a Y.' sentences from document
+    tokens (deterministic), run the real pattern extractor (F16/F17
+    analog, extract/triples.py)."""
+    from ontoemma_spark.extract.triples import extract_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(
+            F.element_at(toks, 1), F.lit(" is a "), F.element_at(toks, 2),
+            F.lit(". "), F.element_at(toks, 3), F.lit(" is part of "),
+            F.element_at(toks, 4), F.lit("."),
+        ).alias("text"),
+    )
+    return extract_triples(pages).select(
+        F.col("url"), F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "subj", "pred", "obj",
+    )
+
+
+SQL_TRIPLE_EXTRACT = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, string_split(text, ' ') AS t FROM documents
+)
+SELECT url, CAST(0 AS BIGINT) AS sent_idx, t[1] AS subj, 'is_a' AS pred, t[2] AS obj FROM toks
+UNION ALL
+SELECT url, CAST(1 AS BIGINT) AS sent_idx, t[3] AS subj, 'part_of' AS pred, t[4] AS obj FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, callable] = {
+    "kb_normalize": q_kb_normalize,
+    "token_idf": q_token_idf,
+    "blocking_candidates": q_blocking_candidates,
+    "best_match": q_best_match,
+    "string_equiv": q_string_equiv,
+    "symmetric_closure": q_symmetric_closure,
+    "merge_entities": q_merge_entities,
+    "prf1_eval": q_prf1_eval,
+    "missed_gold": q_missed_gold,
+    "hard_negatives": q_hard_negatives,
+    "concept_collapse": q_concept_collapse,
+    "cui_selfjoin": q_cui_selfjoin,
+    "bfs_2hop": q_bfs_2hop,
+    "connected_components": q_connected_components,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_dup_candidates": q_lsh_dup_candidates,
+    "simhash": q_simhash,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "ann_cosine": q_ann_cosine,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "media_meta": q_media_meta,
+    "triple_extract": q_triple_extract,
+}
+
+ORACLES: dict[str, str] = {
+    "kb_normalize": SQL_KB_NORMALIZE,
+    "token_idf": SQL_TOKEN_IDF,
+    "blocking_candidates": SQL_BLOCKING_CANDIDATES,
+    "best_match": SQL_BEST_MATCH,
+    "string_equiv": SQL_STRING_EQUIV,
+    "symmetric_closure": SQL_SYMMETRIC_CLOSURE,
+    "merge_entities": SQL_MERGE_ENTITIES,
+    "prf1_eval": SQL_PRF1_EVAL,
+    "missed_gold": SQL_MISSED_GOLD,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "concept_collapse": SQL_CONCEPT_COLLAPSE,
+    "cui_selfjoin": SQL_CUI_SELFJOIN,
+    "bfs_2hop": SQL_BFS_2HOP,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lsh_dup_candidates": SQL_LSH_DUP_CANDIDATES,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
+    "ann_cosine": SQL_ANN_COSINE,
+    "lang_id": SQL_LANG_ID,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprints": SQL_FINGERPRINTS,
+    "media_meta": SQL_MEDIA_META,
+    "triple_extract": SQL_TRIPLE_EXTRACT,
+}

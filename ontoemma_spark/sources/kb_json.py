@@ -1,0 +1,97 @@
+"""KB JSON source/sink (SURVEY §2.1 S1/S2).
+
+Reference format (emma/kb/kb_utils_refactor.py:527-598): one JSON object
+{"name": ..., "entities": [...], "relations": [...]} per file. The
+positional relation_ids indexes are converted to (subject_id, object_id)
+foreign keys on load; relations carry entity ids directly
+(kb_utils_refactor.py:437 entity_ids = [subj, obj]).
+
+Load path: spark.read.json(multiLine) → explode into the two stage DFs.
+Legacy-key patching (mesh_synonynms, kb_utils_refactor.py:217-218) is a
+coalesce projection at ingest; validation (P2/P3,
+kb_utils_refactor.py:278-304) is a filter + quarantine split.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontoemma_spark.schemas import EDGE_SCHEMA, ENTITY_SCHEMA
+
+
+def load_kb_json(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(entities, edges) from a whole-KB JSON file (S1)."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    ents = raw.select(F.explode("entities").alias("e")).select(
+        F.col("e.research_entity_id").alias("research_entity_id"),
+        F.col("e.canonical_name").alias("canonical_name"),
+        F.coalesce(F.col("e.aliases"), F.array().cast("array<string>")).alias("aliases"),
+        F.coalesce(F.col("e.definition"), F.lit("<s>")).alias("definition"),
+        F.coalesce(F.col("e.source_urls"), F.array().cast("array<string>")).alias("source_urls"),
+        F.col("e.category").cast("string").alias("category"),
+        F.coalesce(F.col("e.other_contexts"), F.array().cast("array<string>")).alias(
+            "other_contexts"
+        ),
+        F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
+    )
+    edges = raw.select(F.explode("relations").alias("r")).select(
+        F.col("r.entity_ids")[0].alias("subject_id"),
+        F.col("r.entity_ids")[1].alias("object_id"),
+        F.col("r.relation_type").alias("relation_type"),
+        F.coalesce(F.col("r.symmetric"), F.lit(False)).alias("symmetric"),
+        F.lit(None).cast("array<string>").alias("labels"),
+    )
+    return ents, edges
+
+
+def validate_entities(entities: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantined) per validate_entity (kb_utils_refactor.py:278-290):
+    non-empty id and canonical name."""
+    ok = (
+        F.col("research_entity_id").isNotNull()
+        & (F.length("research_entity_id") > 0)
+        & F.col("canonical_name").isNotNull()
+        & (F.length("canonical_name") > 0)
+    )
+    return entities.filter(ok), entities.filter(~ok)
+
+
+def validate_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per validate_relation (kb_utils_refactor.py:292-304)."""
+    ok = (
+        F.col("relation_type").isNotNull()
+        & F.col("subject_id").isNotNull()
+        & F.col("object_id").isNotNull()
+    )
+    return edges.filter(ok), edges.filter(~ok)
+
+
+def dump_kb_json(entities: DataFrame, edges: DataFrame, name: str, path: str) -> None:
+    """S2: single-object whole-KB JSON (collect-to-driver; the reference
+    format is one object — suitable for KB-sized data only; stage tables
+    use parquet). Relations are re-indexed positionally for format parity."""
+    ents = [r.asDict(recursive=True) for r in entities.collect()]
+    rels = []
+    for i, r in enumerate(edges.collect()):
+        rels.append(
+            {
+                "relation_id": i,
+                "relation_type": r["relation_type"],
+                "entity_ids": [r["subject_id"], r["object_id"]],
+                "symmetric": bool(r["symmetric"]) if r["symmetric"] is not None else False,
+                "labels": list(r["labels"]) if r["labels"] else [],
+            }
+        )
+    with open(path, "w") as f:
+        json.dump({"name": name, "entities": ents, "relations": rels}, f, sort_keys=True)
+
+
+def write_kb_fixture(spark: SparkSession, entities_rows: list, relations_rows: list,
+                     name: str, path: str) -> None:
+    """Test helper: build + dump a KB JSON from row tuples."""
+    ents = spark.createDataFrame(entities_rows, ENTITY_SCHEMA)
+    edges = spark.createDataFrame(relations_rows, EDGE_SCHEMA)
+    dump_kb_json(ents, edges, name, path)
