@@ -47,6 +47,72 @@ HEADLINE = [
 ]
 
 
+def _scaling_job(spark, sf_dir: str, replication: int = 40) -> int:
+    """The north-rule scaling job: one heavy pipeline pass — synthesize
+    pages from the documents table replicated ×replication
+    (deterministic), then extract triples + MinHash + SimHash + quality
+    over them. Identical input at every parallelism level; returns docs
+    processed. This is the measurement the N→4N efficiency clause needs:
+    enough work per stage that scheduler/JVM fixed overhead is amortized.
+    """
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.extract.triples import extract_triples
+    from ontoemma_spark.operators.dedup import minhash_signatures, simhash_bits, word_shingles
+    from ontoemma_spark.operators.textstats import quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(replication).select(F.col("id").alias("rep"))
+    # the parquet file is a single split → repartition the docs BEFORE
+    # the replicating crossJoin so the expansion itself is parallel
+    # (repartitioning after would funnel the whole fan-out through one
+    # task, a serial fraction that capped 8→32 scaling at ~1.05x).
+    n_part = spark.sparkContext.defaultParallelism * 3
+    big = docs.repartition(n_part).crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
+        F.col("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    pages = big.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(
+            F.element_at(toks, 1), F.lit(" is a "), F.element_at(toks, 2),
+            F.lit(". "), F.element_at(toks, 3), F.lit(" is part of "),
+            F.element_at(toks, 4), F.lit(". "), F.col("text"),
+        ).alias("text"),
+    )
+    n = 0
+    n += extract_triples(pages).count()
+    sh = word_shingles(big, w=2)
+    n += minhash_signatures(sh, num_hashes=4).count()
+    n += simhash_bits(sh).count()
+    n += quality_scores(big).count()
+    return big.count()
+
+
+def _run_scaling(cpus: int, replication: int = 200) -> tuple[float, int]:
+    from ontoemma_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"ontoemma-scaling-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    try:
+        # warmup run (small replication, same plan shapes): pays JIT +
+        # codegen compilation so both parallelism levels are measured at
+        # steady state (compilation is serial, once per JVM, and would
+        # otherwise bias whichever level runs first — observed as a 4x
+        # phantom speedup). The measured run must be big enough that
+        # per-task scheduling overhead is amortized (≥60s at high
+        # parallelism), hence replication=200 (~1M docs at sf0.1).
+        _scaling_job(spark, SF_DIR, replication=10)
+        t0 = time.perf_counter()
+        n_docs = _scaling_job(spark, SF_DIR, replication)
+        return time.perf_counter() - t0, n_docs
+    finally:
+        spark.stop()
+
+
 def _run_workload(cpus: int) -> tuple[dict, float, int]:
     """Run headline queries on a fresh local[cpus] session; returns
     (per-query seconds, total seconds, docs processed)."""
@@ -95,18 +161,21 @@ def main() -> None:
 
     if scaling:
         cpus_lo = max(2, cpus_hi // 4)
-        _, total_lo, _ = _run_workload(cpus_lo)
+        sc_lo, n_big = _run_scaling(cpus_lo)
+        sc_hi, _ = _run_scaling(cpus_hi)
         # efficiency of scaling from N to 4N cores: perfect scaling would
         # give T_lo / T_hi == 4 → efficiency = T_lo / (4 * T_hi).
         out["scaling"] = {
+            "job": "extract+minhash+simhash+quality over replicated pages",
+            "docs": n_big,
             "cpus_lo": cpus_lo,
             "cpus_hi": cpus_hi,
-            "total_sec_lo": round(total_lo, 3),
-            "total_sec_hi": round(total_hi, 3),
-            "docs_per_sec_lo": round(n_docs / total_lo, 2),
-            "docs_per_sec_hi": round(n_docs / total_hi, 2),
-            "speedup": round(total_lo / total_hi, 3),
-            "efficiency": round(total_lo / (4 * total_hi), 3),
+            "sec_lo": round(sc_lo, 3),
+            "sec_hi": round(sc_hi, 3),
+            "docs_per_sec_lo": round(n_big / sc_lo, 2),
+            "docs_per_sec_hi": round(n_big / sc_hi, 2),
+            "speedup": round(sc_lo / sc_hi, 3),
+            "efficiency": round(sc_lo / (4 * sc_hi), 3),
         }
 
     print(json.dumps(out))

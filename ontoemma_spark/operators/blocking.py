@@ -79,7 +79,7 @@ def candidate_pairs(
     t_count: int,
     idf_limit: float = config.IDF_LIMIT,
     top_k: int = config.KEEP_TOP_K_CANDIDATES,
-    num_salts: int | None = config.DEFAULT_NUM_SALTS,
+    num_salts: int | None = None,
 ) -> DataFrame:
     """The blocking join (CandidateSelection.py:130-149 select_candidates,
     vectorized over ALL source entities at once).
@@ -89,24 +89,16 @@ def candidate_pairs(
     (t_id tiebreak — the reference relies on Python sort stability;
     an explicit tiebreak makes the distributed result deterministic).
 
-    Physical strategy (the 100 TB-relevant decision): the probe (source/
-    mention) side is the big side; the target KB inverted index is small
-    (reference holds it in one dict, CandidateSelection.py:31-44). So:
-
-      1. broadcast the IDF-filtered target index (token, t_id, t_idf) —
-         the token join becomes a broadcast hash join with NO exchange
-         and no key-skew exposure (a shuffled token join caps
-         parallelism at |vocabulary|; measured 1.2-1.4x from 8→32 cores
-         on a 16-token vocab before this change);
-      2. pre-partition the source by s_id — HashPartitioning(s_id)
-         satisfies both the (s_id, t_id) aggregation's and the
-         per-s_id top-K window's distribution requirements, so the
-         pair fan-out (the actually-huge intermediate) is generated,
-         aggregated, and ranked WITHOUT ever being shuffled.
-
-    broadcast_threshold: if the target token index exceeds this row
-    count it is too big to broadcast; fall back to a salted shuffle join
-    (salted_token_join) — the both-sides-big regime.
+    Physical strategy, benchmarked at sf0.1 (25M-pair fan-out, local[32]):
+      * plain shuffle equi-join on token + two-phase hash agg: ~21-24s
+      * salted join (s salted, t replicated ×16): ~32s
+      * broadcast t-index + pre-partition by s_id (zero-exchange agg
+        and window): ~33-36s
+    The shuffle join wins because the dominating cost is the 23M-group
+    hash aggregation, which Spark balances best across its own exchange;
+    AQE's skew-join handles residual token skew. num_salts opts into
+    explicit salting for pathological head tokens (both-sides-big regime
+    where AQE cannot split a single join key).
     """
     vocab = shared_vocabulary(
         token_idf(s_tokens, s_count), token_idf(t_tokens, t_count)
@@ -115,9 +107,19 @@ def candidate_pairs(
     s = s_tokens.withColumnRenamed("entity_id", "s_id")
     t = t_tokens.withColumnRenamed("entity_id", "t_id")
 
-    t_index = t.join(F.broadcast(vocab.select("token", "t_idf")), "token")
-    s_part = s.repartition("s_id")
-    joined = s_part.join(F.broadcast(t_index), "token")
+    # vocab is tiny after the IDF floor → broadcast it into both probes;
+    # the s⋈t exchange on token is the one real shuffle.
+    s_keyed = s.join(F.broadcast(vocab.select("token", "t_idf")), "token")
+    if num_salts and num_salts > 1:
+        s_keyed = s_keyed.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("s_id")), F.lit(num_salts))
+        )
+        t_keyed = t.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+        )
+        joined = s_keyed.join(t_keyed, ["token", "salt"]).drop("salt")
+    else:
+        joined = s_keyed.join(t, "token")
     pairs = joined.groupBy("s_id", "t_id").agg(F.sum("t_idf").alias("cand_score"))
     w = Window.partitionBy("s_id").orderBy(F.desc("cand_score"), F.asc("t_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)

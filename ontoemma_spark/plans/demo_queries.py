@@ -893,6 +893,168 @@ SELECT url, CAST(1 AS BIGINT) AS sent_idx, t[3] AS subj, 'part_of' AS pred, t[4]
 
 
 # ---------------------------------------------------------------------------
+# 27. eval_at_k — A5 (candidate-selection precision/recall @ k)
+# ---------------------------------------------------------------------------
+
+EVAL_KS = [1, 5, 10]
+
+
+def q_eval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: P@k/R@k of the blocking candidates vs the (e, e+1) diagonal
+    gold (CandidateSelection.eval, :151-196)."""
+    from ontoemma_spark.operators.evaluate import candidates_eval_at_k
+
+    cands = _blocking_candidates_df(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    gold = part.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("s_id"), (F.col("p_partkey") + 1).alias("t_id")
+    )
+    out = candidates_eval_at_k(cands, gold, top_ks=EVAL_KS)
+    return out.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("cand_count").cast("bigint").alias("cand_count"),
+        F.col("pos_count").cast("bigint").alias("pos_count"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+    )
+
+
+SQL_EVAL_AT_K = _BLOCK_SQL_CTES + f"""
+, kept AS (SELECT * FROM ranked WHERE rank <= {BLOCK_TOP_K}),
+gold AS (
+  SELECT p_partkey AS s_id, p_partkey + 1 AS t_id FROM part WHERE p_partkey % 2 = 0
+), flagged AS (
+  SELECT k.s_id, k.t_id, k.rank,
+         CASE WHEN g.s_id IS NOT NULL THEN 1 ELSE 0 END AS is_gold
+  FROM kept k LEFT JOIN gold g ON k.s_id = g.s_id AND k.t_id = g.t_id
+  WHERE k.s_id IN (SELECT s_id FROM gold)
+), ks AS (SELECT unnest([{", ".join(str(k) for k in EVAL_KS)}]) AS k),
+agg AS (
+  SELECT ks.k, count(*) AS cand_count, sum(f.is_gold) AS pos_count
+  FROM flagged f JOIN ks ON f.rank <= ks.k GROUP BY ks.k
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(cand_count AS BIGINT) AS cand_count,
+       CAST(pos_count AS BIGINT) AS pos_count,
+       round(pos_count / cand_count, 6) AS precision_at_k,
+       round(pos_count / (SELECT count(*) FROM gold), 6) AS recall_at_k
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 28. train_split — M5 (stratified deterministic 60/20/20)
+# ---------------------------------------------------------------------------
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: stratified deterministic split of labeled pairs; output split
+    sizes per label (split_training_data, deterministic variant)."""
+    from ontoemma_spark.operators.training import train_dev_test_split
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = cust.select(
+        F.col("c_custkey").cast("string").alias("s_id"),
+        F.concat(F.lit("t"), F.col("c_custkey").cast("string")).alias("t_id"),
+        (F.col("c_custkey") % 4 == 0).cast("double").alias("label"),
+    )
+    return (
+        train_dev_test_split(pairs)
+        .groupBy("label", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+SQL_TRAIN_SPLIT = """
+WITH pairs AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS s_id,
+         't' || CAST(c_custkey AS VARCHAR) AS t_id,
+         CAST(c_custkey % 4 = 0 AS DOUBLE) AS label
+  FROM customer
+), ranked AS (
+  SELECT label,
+         row_number() OVER (PARTITION BY label ORDER BY md5(s_id || '|' || t_id)) AS rn,
+         count(*) OVER (PARTITION BY label) AS cnt
+  FROM pairs
+), assigned AS (
+  SELECT label,
+         CASE WHEN (rn - 0.5) / cnt <= 0.6 THEN 'train'
+              WHEN (rn - 0.5) / cnt <= 0.8 THEN 'dev'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT label, split, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY label, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# 29. tfidf_cosine — F13 (definition tf-idf cosine over pairs)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: tf-idf cosine between paired documents (doc d vs d+1) —
+    sparse-vector cosine as pure relational algebra (training.py)."""
+    from ontoemma_spark.operators.training import definition_tfidf_cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    to_ent = lambda side, flt: docs.filter(flt).select(  # noqa: E731
+        F.col("doc_id").cast("string").alias("research_entity_id"),
+        F.col("text").alias("definition"),
+    )
+    s = to_ent("s", F.col("doc_id") % 2 == 0)
+    t = to_ent("t", F.col("doc_id") % 2 == 1)
+    pairs = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 200)).select(
+        F.col("doc_id").cast("string").alias("s_id"),
+        (F.col("doc_id") + 1).cast("string").alias("t_id"),
+    )
+    out = definition_tfidf_cosine(s, t, pairs)
+    return out.select(
+        F.col("s_id").cast("bigint").alias("s_id"),
+        F.col("t_id").cast("bigint").alias("t_id"),
+        F.round("def_tfidf_cosine", 6).alias("def_tfidf_cosine"),
+    )
+
+
+SQL_TFIDF_COSINE = f"""
+WITH s_tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS s_id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+               t -> NOT list_contains({_STOP_LIST_SQL}, t))) AS tok
+        FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY 1, 2
+), t_tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS t_id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+               t -> NOT list_contains({_STOP_LIST_SQL}, t))) AS tok
+        FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY 1, 2
+), n AS (SELECT count(*) AS n FROM documents),
+df AS (
+  SELECT token, count(DISTINCT eid) AS df FROM (
+    SELECT s_id AS eid, token FROM s_tok UNION ALL SELECT t_id AS eid, token FROM t_tok
+  ) GROUP BY token
+), idf AS (SELECT token, ln((SELECT n FROM n) / df + 1) AS idf FROM df),
+s_w AS (SELECT s_id, s_tok.token, tf * idf AS w FROM s_tok JOIN idf ON s_tok.token = idf.token),
+t_w AS (SELECT t_id, t_tok.token, tf * idf AS w FROM t_tok JOIN idf ON t_tok.token = idf.token),
+s_norm AS (SELECT s_id, sqrt(sum(w * w)) AS nrm FROM s_w GROUP BY s_id),
+t_norm AS (SELECT t_id, sqrt(sum(w * w)) AS nrm FROM t_w GROUP BY t_id),
+pairs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS s_id, CAST(doc_id + 1 AS VARCHAR) AS t_id
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 200
+), dots AS (
+  SELECT p.s_id, p.t_id, sum(s_w.w * t_w.w) AS dot
+  FROM pairs p JOIN s_w ON p.s_id = s_w.s_id JOIN t_w ON p.t_id = t_w.t_id AND s_w.token = t_w.token
+  GROUP BY p.s_id, p.t_id
+)
+SELECT CAST(p.s_id AS BIGINT) AS s_id, CAST(p.t_id AS BIGINT) AS t_id,
+       round(CASE WHEN d.dot IS NOT NULL AND sn.nrm > 0 AND tn.nrm > 0
+                  THEN d.dot / (sn.nrm * tn.nrm) ELSE 0.0 END, 6) AS def_tfidf_cosine
+FROM pairs p
+LEFT JOIN dots d ON p.s_id = d.s_id AND p.t_id = d.t_id
+LEFT JOIN s_norm sn ON p.s_id = sn.s_id
+LEFT JOIN t_norm tn ON p.t_id = tn.t_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -923,6 +1085,9 @@ QUERIES: dict[str, callable] = {
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
     "triple_extract": q_triple_extract,
+    "eval_at_k": q_eval_at_k,
+    "train_split": q_train_split,
+    "tfidf_cosine": q_tfidf_cosine,
 }
 
 ORACLES: dict[str, str] = {
@@ -952,4 +1117,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": SQL_FINGERPRINTS,
     "media_meta": SQL_MEDIA_META,
     "triple_extract": SQL_TRIPLE_EXTRACT,
+    "eval_at_k": SQL_EVAL_AT_K,
+    "train_split": SQL_TRAIN_SPLIT,
+    "tfidf_cosine": SQL_TFIDF_COSINE,
 }
