@@ -83,6 +83,34 @@ def extract_text_col(html_col) -> Column:
     return text
 
 
+_WIKI_CRUFT_RE = r"\[\d+\]|\[citation needed\]"
+
+
+def clean_wiki_text_py(text: str) -> str:
+    """F14 (emma/utils/common.py:44-52): replace citation markers
+    ([3], [citation needed]) with EQUAL-LENGTH spaces so character
+    offsets into the original text stay valid — the length-preserving
+    property is the point (mention spans index into this text)."""
+    import re as _re
+
+    return _re.sub(_WIKI_CRUFT_RE, lambda m: " " * len(m.group(0)), text)
+
+
+def clean_wiki_text(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """F14 as an Arrow-batched transform (the replacement length depends
+    on the match, which regexp_replace cannot express natively)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out[text_col] = out[text_col].map(
+                lambda t: clean_wiki_text_py(t) if t is not None else None
+            )
+            yield out
+
+    return pages.mapInPandas(batches, schema=pages.schema)
+
+
 def extract_text_mapinpandas(pages: DataFrame) -> DataFrame:
     """Arrow-batched extraction (url, extracted_text). The pandas-UDF
     plumbing pattern for stages that need real Python libraries

@@ -28,6 +28,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def shingle_array(text_col, w: int = 3) -> Column:
+    """Array of w-word shingles as a NARROW column expression — no
+    explode, no window, no shuffle. Per-doc sketches (MinHash, SimHash)
+    build on this so sketching 10^12 docs is map-only."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
+        lambda i: F.array_join(F.slice(toks, i, w), " "),
+    )
+    # sequence(1, n) with n < 1 counts DOWN — guard short texts explicitly
+    return F.when(F.size(toks) >= w, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(
     docs: DataFrame,
     text_col: str = "text",
@@ -35,19 +51,13 @@ def word_shingles(
     w: int = 3,
     distinct: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle): w-word shingles via posexplode + lead window —
-    a construction with an exact SQL twin (unnest WITH ORDINALITY +
-    lead) for oracle parity."""
-    toks = docs.select(
+    """(doc_id, shingle) exploded form — for the RELATIONAL consumers
+    (shared-shingle blocking join, pairwise jaccard). Sketches should
+    use shingle_array instead (narrow)."""
+    sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        F.explode(shingle_array(text_col, w)).alias("shingle"),
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
-    sh = toks.select(
-        "doc_id", F.concat_ws(" ", *parts).alias("shingle"),
-        *[F.lead("tok", w - 1).over(win).alias("_last")],
-    ).filter(F.col("_last").isNotNull()).drop("_last")
     return sh.distinct() if distinct else sh
 
 
@@ -68,12 +78,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per doc: num_hashes MinHash values, hash_k = min(md5(k || ':' ||
     shingle)) — lexicographic min over the md5 hex string is a valid
-    min-wise hash family member per seed k."""
+    min-wise hash family member per seed k. (Exploded-input form; use
+    minhash_signatures_narrow when starting from the docs table.)"""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
         for k in range(num_hashes)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_narrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash with ZERO shuffle: the per-seed min runs inside the row
+    over the shingle array (array_min ∘ transform). Identical values to
+    minhash_signatures; this is the 10^12-doc path — sketching never
+    leaves the scan stage."""
+    sh = F.array_distinct(shingle_array(text_col, w))
+
+    def seeded_md5(k: int):
+        # NB: a `lambda s, k=k` would be treated by transform() as the
+        # two-arg (element, index) form, silently replacing k with the
+        # element index — hence this closure factory.
+        return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
+    cols = [
+        F.array_min(F.transform(sh, seeded_md5(k))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return docs.select(F.col(id_col).alias("doc_id"), *cols)
 
 
 def lsh_candidate_pairs(
@@ -126,6 +163,33 @@ def simhash_bits(shingles_or_tokens: DataFrame, num_bits: int = 16) -> DataFrame
     agg = shingles_or_tokens.groupBy("doc_id").agg(*sums)
     bits = F.concat(*[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(num_bits)])
     return agg.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_bits_narrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_bits: int = 16,
+) -> DataFrame:
+    """SimHash with ZERO shuffle: per-bit vote sums run inside the row
+    via aggregate() over the distinct-shingle array. Identical values to
+    simhash_bits on distinct shingles."""
+    sh = F.array_distinct(shingle_array(text_col, w))
+    hexset = "89abcdef"
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.substring(F.md5(s), i + 1, 1).isin(*hexset), 1).otherwise(-1),
+        )
+
+    bits = F.concat(
+        *[F.when(bit_sum(i) > 0, "1").otherwise("0") for i in range(num_bits)]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), bits.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

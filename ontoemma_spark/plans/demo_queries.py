@@ -591,10 +591,10 @@ WITH toks AS (
 # 16. minhash_signatures — per-doc MinHash sketch
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: h_k = min(md5(k || ':' || shingle)) — bitwise
-    oracle-checkable sketch."""
+    oracle-checkable sketch, computed with the zero-shuffle narrow form
+    (array_min over the in-row shingle array)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, w=SHINGLE_W)
-    sig = D.minhash_signatures(sh, num_hashes=NUM_MINHASHES)
+    sig = D.minhash_signatures_narrow(docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES)
     return sig.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       *[f"h{k}" for k in range(NUM_MINHASHES)])
 
@@ -652,10 +652,10 @@ FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 
 # 18. simhash — per-doc 16-bit SimHash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16 bits from md5 nibble high-bits over distinct shingles)."""
+    """SimHash (16 bits from md5 nibble high-bits over distinct
+    shingles), zero-shuffle narrow form."""
     docs = _t(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, w=SHINGLE_W)
-    return D.simhash_bits(sh).select(
+    return D.simhash_bits_narrow(docs, w=SHINGLE_W).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "simhash"
     )
 

@@ -100,3 +100,44 @@ def test_brute_force_topk_and_lsh(spark):
     # bucket always contains the exact match
     lsh = lsh_bucket_topk(emb, q, k=2, num_planes=4).collect()
     assert 1 in [r["vec_id"] for r in lsh]
+
+
+def test_narrow_sketches_equal_exploded(spark):
+    """The zero-shuffle sketch implementations must produce byte-identical
+    values to the exploded/groupBy forms (and hence the SQL oracles)."""
+    from ontoemma_spark.operators.dedup import (
+        minhash_signatures_narrow,
+        simhash_bits_narrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = word_shingles(docs, w=2)
+    wide_mh = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+               for r in minhash_signatures(sh, 4).collect()}
+    narrow_mh = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+                 for r in minhash_signatures_narrow(docs, w=2, num_hashes=4).collect()}
+    assert wide_mh == narrow_mh
+    wide_sh = {r["doc_id"]: r["simhash"] for r in simhash_bits(sh).collect()}
+    narrow_sh = {r["doc_id"]: r["simhash"] for r in simhash_bits_narrow(docs, w=2).collect()}
+    assert wide_sh == narrow_sh
+
+
+def test_narrow_sketch_plans_have_no_exchange(spark):
+    from ontoemma_spark.operators.dedup import (
+        minhash_signatures_narrow,
+        simhash_bits_narrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (minhash_signatures_narrow(docs, w=2, num_hashes=4),
+               simhash_bits_narrow(docs, w=2)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_shingle_array_short_text(spark):
+    from ontoemma_spark.operators.dedup import shingle_array
+
+    df = spark.createDataFrame([("a",), ("a b",), ("a b c",)], "text string")
+    got = [r["v"] for r in df.select(shingle_array("text", 3).alias("v")).collect()]
+    assert got == [[], [], ["a b c"]]
