@@ -102,7 +102,9 @@ def entity_feature_table(entities: DataFrame, id_out: str = "entity_id") -> Data
     # spaCy): heuristic stand-in — root = last name token (English NPs
     # are head-final), root_words = all name tokens. Deterministic.
     df = df.withColumn(
-        "parse_root", F.coalesce(F.element_at("name_tokens", -1), F.lit(""))
+        # try_element_at: ANSI mode (Spark 4 default) makes element_at
+        # throw on an empty token array (stopword-only names)
+        "parse_root", F.coalesce(F.try_element_at("name_tokens", F.lit(-1)), F.lit(""))
     ).withColumn("root_words", F.col("name_tokens"))
     return df
 

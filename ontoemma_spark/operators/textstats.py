@@ -98,6 +98,27 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def document_fingerprints_narrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Zero-shuffle fingerprint: k smallest md5(shingle) computed in-row
+    (array_sort ∘ transform over the shingle array). Identical values to
+    document_fingerprints."""
+    from ontoemma_spark.operators.dedup import shingle_array
+
+    hashes = F.array_sort(
+        F.transform(F.array_distinct(shingle_array(text_col, w)), lambda s: F.md5(s))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(F.slice(hashes, 1, k), "|").alias("fingerprint"),
+    )
+
+
 def document_fingerprints(
     shingles: DataFrame, k: int = 3
 ) -> DataFrame:

@@ -820,8 +820,7 @@ FROM documents
 # 24. fingerprints — winnowing-lite document fingerprint
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, w=SHINGLE_W)
-    return T.document_fingerprints(sh, k=3).select(
+    return T.document_fingerprints_narrow(docs, w=SHINGLE_W, k=3).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "fingerprint"
     )
 
@@ -1055,6 +1054,85 @@ LEFT JOIN t_norm tn ON p.t_id = tn.t_id
 
 
 # ---------------------------------------------------------------------------
+# 30. kg_pipeline — the full 4-stage pipeline (extract → link →
+# canonicalize → materialize). Multi-stage/iterative (CC fixpoint) →
+# NOT SQL-expressible; registered without an oracle (rows-only check).
+# ---------------------------------------------------------------------------
+
+def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship: pages synthesized from documents, KB from
+    their vocabulary, full extract→link→canonicalize→materialize run
+    (in-memory variant of pipeline.run_pipeline, no checkpoint dir).
+    Returns the canonical KG edge table."""
+    from ontoemma_spark.align import align
+    from ontoemma_spark.extract.triples import extract_triples
+    from ontoemma_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(
+            F.element_at(toks, 1), F.lit(" is a "), F.element_at(toks, 2),
+            F.lit(". "), F.element_at(toks, 3), F.lit(" is part of "),
+            F.element_at(toks, 4), F.lit("."),
+        ).alias("text"),
+    )
+    triples = extract_triples(pages)
+
+    # KB: the document vocabulary as entities
+    kb = (
+        docs.select(F.explode(F.slice(toks, 1, 4)).alias("word"))
+        .distinct()
+        .select(
+            F.concat(F.lit("KB:"), F.col("word")).alias("research_entity_id"),
+            F.col("word").alias("canonical_name"),
+            F.array(F.col("word")).alias("aliases"),
+            F.lit("").alias("definition"),
+            F.array().cast("array<string>").alias("source_urls"),
+            F.lit(None).cast("string").alias("category"),
+            F.array().cast("array<string>").alias("other_contexts"),
+            F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
+        )
+    )
+    mentions = (
+        triples.select(F.col("subj").alias("name"))
+        .union(triples.select(F.col("obj").alias("name")))
+        .distinct()
+        .select(
+            F.concat(F.lit("MENTION:"), F.col("name")).alias("research_entity_id"),
+            F.col("name").alias("canonical_name"),
+            F.array(F.col("name")).alias("aliases"),
+            F.lit("").alias("definition"),
+            F.array().cast("array<string>").alias("source_urls"),
+            F.lit(None).cast("string").alias("category"),
+            F.array().cast("array<string>").alias("other_contexts"),
+            F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
+        )
+    )
+    links = align(mentions, kb).alignment
+    canon = connected_components(links.select("s_id", "t_id"), src="s_id", dst="t_id")
+    subj_map = F.broadcast(canon.select(
+        F.regexp_replace("node", "^MENTION:", "").alias("subj"),
+        F.col("component").alias("subj_canon"),
+    ).filter(~F.col("subj").startswith("KB:")))
+    obj_map = F.broadcast(canon.select(
+        F.regexp_replace("node", "^MENTION:", "").alias("obj"),
+        F.col("component").alias("obj_canon"),
+    ).filter(~F.col("obj").startswith("KB:")))
+    return (
+        triples.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            F.coalesce("subj_canon", F.concat(F.lit("MENTION:"), F.col("subj"))).alias("subject_id"),
+            F.col("pred").alias("relation_type"),
+            F.coalesce("obj_canon", F.concat(F.lit("MENTION:"), F.col("obj"))).alias("object_id"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1088,6 +1166,9 @@ QUERIES: dict[str, callable] = {
     "eval_at_k": q_eval_at_k,
     "train_split": q_train_split,
     "tfidf_cosine": q_tfidf_cosine,
+    # non-SQL-expressible (iterative CC fixpoint) → no oracle entry;
+    # the driver records a rows-only check for this one.
+    "kg_pipeline": q_kg_pipeline,
 }
 
 ORACLES: dict[str, str] = {
