@@ -173,11 +173,19 @@ def run_pipeline(
                 "sent_idx",
             )
         )
-        _checkpoint(kg_edges, out_dir, "materialize", manifest, metrics={},
-                    bucket_col="subject_id")
+        materialized = _checkpoint(kg_edges, out_dir, "materialize", manifest, metrics={},
+                                   bucket_col="subject_id")
+        # per-partition lineage: row count per entity-hash bucket (the
+        # north rule's per-partition counters; on Iceberg these live in
+        # snapshot manifests for free)
+        bucket_counts = {
+            str(r["bucket"]): r["count"]
+            for r in materialized.groupBy("bucket").count().collect()
+        }
         manifest["stages"]["materialize"]["metrics"] = {
             "nodes": nodes.count(), "edges": kg_edges.count()
         }
+        manifest["stages"]["materialize"]["partitions"] = bucket_counts
         _write_manifest(out_dir, manifest)
 
     return read_manifest(out_dir)
