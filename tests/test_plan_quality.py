@@ -35,9 +35,18 @@ def test_filter_and_column_pushdown_reach_scan(spark):
     assert "p_name" in read_schema and "p_retailprice" not in read_schema
 
 
+def _relational_blocking(spark):
+    from ontoemma_spark.datagen import synthetic_kb
+    from ontoemma_spark.operators.blocking import candidate_pairs, entity_tokens
+
+    s_ents, _ = synthetic_kb(spark, "S", n_entities=20)
+    t_ents, _ = synthetic_kb(spark, "T", n_entities=20, id_offset=5)
+    return candidate_pairs(entity_tokens(s_ents), entity_tokens(t_ents), 20, 20, top_k=5)
+
+
 def test_blocking_join_plan_shape(spark):
-    df = dq._blocking_candidates_df(spark, SF)
-    plan = _plan(df)
+    """The pure-relational blocking plan (both-sides-big regime)."""
+    plan = _plan(_relational_blocking(spark))
     # the tiny IDF vocabulary must be broadcast, not shuffled
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     # no Python evaluation anywhere in the hot path (all-native exprs)
@@ -48,11 +57,20 @@ def test_blocking_join_plan_shape(spark):
 
 
 def test_best_match_uses_rank_limit_pushdown(spark):
-    df = dq.q_blocking_candidates(spark, SF)
-    plan = _plan(df)
+    plan = _plan(_relational_blocking(spark))
     # Spark 3.5+/4.x WindowGroupLimit prunes per-group rows before the
     # full window sort — essential when top-K covers 10^12 pairs
     assert "WindowGroupLimit" in plan
+
+
+def test_demo_blocking_uses_broadcast_index_kernel(spark):
+    """The demo/driver query uses the broadcast-index kernel: one Arrow
+    stage (FlatMapGroupsInPandas), no relational join of the pair table."""
+    df = dq._blocking_candidates_df(spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    # the huge (s, t) pair table is never materialized relationally
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_featurize_pairs_is_python_free(spark):
