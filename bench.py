@@ -138,10 +138,20 @@ def _run_workload(cpus: int) -> tuple[dict, float, int]:
         # warm the JVM/parquet footers so per-query times measure the plan
         for t in ["part", "documents", "embeddings", "events", "nation", "region", "customer"]:
             spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        # per-query warmup at the smallest SF: whole-stage-codegen
+        # compilation (janino) is serial, once per plan shape per JVM —
+        # identical shapes at sf0.001 compile the cache so the timed run
+        # below measures execution, not compilation.
+        warm_dir = "/root/testdata/sf0.001"
         times: dict[str, float] = {}
         total = 0.0
         for name in HEADLINE:
             fn = dq.QUERIES[name]
+            if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+                try:
+                    fn(spark, warm_dir).count()
+                except Exception:
+                    pass
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0

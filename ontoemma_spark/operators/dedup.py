@@ -126,19 +126,16 @@ def lsh_candidate_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = signatures.select("doc_id", *band_cols)
-    stacked = None
-    for b in range(bands):
-        part = banded.select(
-            "doc_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
-        )
-        stacked = part if stacked is None else stacked.union(part)
-    a = stacked.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    # single-pass band stacking (posexplode) — a union of selects would
+    # recompute the signature plan once per band per join side
+    stacked = signatures.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
-    b_side = stacked.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
+    a = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b_side = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     return (
         a.join(b_side, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))

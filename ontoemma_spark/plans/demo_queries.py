@@ -39,6 +39,9 @@ DEMO_IDF_LIMIT = 2.0794415416798357  # ln(8); the reference ln(20) floor would
 BLOCK_TOP_K = 10
 SHINGLE_W = 2
 NUM_MINHASHES = 4
+LSH_BANDS = 2  # 2 rows per band: collision prob 1-(1-j²)² — the
+# precision knob; 1-row bands made every doc sharing one min-shingle
+# collide (quadratic buckets on a small vocabulary)
 JACCARD_MIN = 0.5
 EVENT_PRIORITY = ["signup", "purchase", "click", "view", "error"]  # TTY-rank analog
 
@@ -617,12 +620,17 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersects in-row — exact jaccard is computed only for LSH survivors,
     never all-pairs (the whole point of LSH at 10^12 docs)."""
     docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signatures_narrow(docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES)
-    pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=NUM_MINHASHES)
+    # localCheckpoint: sig and the shingle arrays feed BOTH sides of
+    # self-joins — materialize the (KB-sized) intermediates once instead
+    # of recomputing the narrow plan per side.
+    sig = D.minhash_signatures_narrow(
+        docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES
+    ).localCheckpoint(eager=True)
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
     sh_arr = docs.select(
         F.col("doc_id"),
         F.array_distinct(D.shingle_array("text", SHINGLE_W)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -638,12 +646,23 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROWS_PER_BAND = NUM_MINHASHES // LSH_BANDS
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(LSH_BANDS)
+)
+
 SQL_LSH_DUP_CANDIDATES = _SHINGLE_CTE + f"""
 , sig AS (
   SELECT doc_id, {", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(NUM_MINHASHES))}
   FROM sh GROUP BY doc_id
 ), bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {k} AS band_idx, md5(h{k}) AS band_hash FROM sig" for k in range(NUM_MINHASHES))}
+  {_BAND_SELECTS}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
