@@ -47,12 +47,23 @@ def align(
     threshold: float = config.SIM_SCORE_THRESHOLD,
     top_k: int = config.KEEP_TOP_K_CANDIDATES,
     broadcast_index: bool = True,
+    normalize: bool = True,
 ) -> AlignmentResult:
     """broadcast_index: compute candidates with the broadcast-inverted-
     index kernel (target KB index fits in memory — always true for the
     KB side; bit-identical to the shuffle plan, ~12x faster). Set False
-    to force the pure-relational plan (both-sides-big regime)."""
+    to force the pure-relational plan (both-sides-big regime).
+
+    normalize: apply P1 KB normalization first (the reference align()
+    calls normalize_kb on both sides before candidate selection,
+    OntoEmma.py:846-848 — tokenization is case-sensitive, so skipping it
+    loses candidates on mixed-case input)."""
+    from ontoemma_spark.operators.normalize import normalize_entities
+
     model = model or DEFAULT_LR_MODEL
+    if normalize:
+        s_entities = normalize_entities(s_entities)
+        t_entities = normalize_entities(t_entities)
     s_count = s_entities.count()
     t_count = t_entities.count()
 
@@ -63,9 +74,22 @@ def align(
 
     equiv = string_equiv_alignment(s_entities, t_entities, candidates=cands)
 
-    # model scoring only for candidate pairs whose source was NOT matched
-    # exactly (OntoEmma.py:693-715 short circuit).
-    to_score = cands.join(equiv.select("s_id").distinct(), "s_id", "left_anti")
+    # model scoring short-circuit (OntoEmma.py:695-722 _apply_model_align):
+    # skip sources AND targets already string-equiv matched, and skip
+    # unnamed entities whose canonical name equals their id (P8,
+    # :710-715 — unnamed OWL imports are never model-scored).
+    s_named = s_entities.filter(
+        F.col("canonical_name") != F.col("research_entity_id")
+    ).select(F.col("research_entity_id").alias("s_id"))
+    t_named = t_entities.filter(
+        F.col("canonical_name") != F.col("research_entity_id")
+    ).select(F.col("research_entity_id").alias("t_id"))
+    to_score = (
+        cands.join(equiv.select("s_id").distinct(), "s_id", "left_anti")
+        .join(equiv.select("t_id").distinct(), "t_id", "left_anti")
+        .join(s_named, "s_id", "left_semi")
+        .join(t_named, "t_id", "left_semi")
+    )
     featurized = featurize_pairs(
         to_score.select("s_id", "t_id"),
         entity_feature_table(s_entities),

@@ -38,13 +38,17 @@ def entity_tokens(
 ) -> DataFrame:
     """Distinct (entity_id, token) pairs per CandidateSelection.py:46-88:
     word tokens of every alias ∪ char-n-grams of normalize_string(alias)
-    ∪ word tokens of the definition."""
-    alias = F.col(aliases_col)
+    ∪ word tokens of the definition.
+
+    Null guards matter: concat(NULL, ...) is NULL, which would silently
+    emit ZERO tokens for an entity with a null definition or alias list
+    — dropping it from candidate selection entirely."""
+    alias = F.coalesce(F.col(aliases_col), F.array().cast("array<string>"))
     word_toks = F.flatten(F.transform(alias, lambda a: tokenize(a)))
     gram_toks = F.flatten(
         F.transform(alias, lambda a: char_ngrams(normalize_string(a), ngram_size, pad=ngram_pad))
     )
-    def_toks = tokenize(definition_col)
+    def_toks = tokenize(F.coalesce(F.col(definition_col), F.lit("")))
     return (
         entities.select(
             F.col(id_col).alias("entity_id"),

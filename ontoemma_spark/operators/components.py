@@ -69,8 +69,13 @@ def connected_components(
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # silent non-convergence would split one component across several
+    # canonical ids — fail loudly instead.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(graph diameter exceeds the bound); raise max_iterations"
+    )
 
 
 def canonical_ids_from_matches(matches: DataFrame) -> DataFrame:

@@ -73,12 +73,14 @@ def neighborhood_similarity(
     t_regions: DataFrame,
     iterations: int = 0,
 ) -> DataFrame:
-    """Neighborhood score propagation (OntoEmma.py:631-681): new score is
-    the average of the pair score and the distance-weighted mean of
-    neighbor-pair scores at equal path length. The reference's align()
-    calls this with iterations=0 — identity — which tests pin
-    (tests/test_neighborhood_sim.py:25-29); implemented for parity.
-    Regions: (seed, node, path_len)."""
+    """Neighborhood score propagation (OntoEmma.py:631-681): each
+    iteration REPLACES every pair's score with the distance-weighted
+    mean of scored neighbor pairs at equal path length,
+    Σ(w·s)/Σw with w = exp(-(l1+l2)/2) (:666-677) — the pair itself is
+    included via the 0-hop region entry (weight 1), and a pair with no
+    qualifying neighbors gets 0.0 (:671-674). The reference's align()
+    calls this with iterations=0 — identity — matching its default.
+    Regions: (seed, node, path_len) including the seed at path_len 0."""
     out = scores
     for _ in range(iterations):
         nbr = (
@@ -108,11 +110,7 @@ def neighborhood_similarity(
             .select(
                 "s_id",
                 "t_id",
-                F.when(
-                    F.col("nbr_avg").isNotNull(), (F.col("score") + F.col("nbr_avg")) / 2.0
-                )
-                .otherwise(F.col("score"))
-                .alias("score"),
+                F.coalesce("nbr_avg", F.lit(0.0)).alias("score"),
             )
         )
     return out

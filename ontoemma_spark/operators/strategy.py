@@ -37,7 +37,6 @@ def all_alignment(scores: DataFrame, threshold: float = config.SIM_SCORE_THRESHO
 def greedy_one_to_one_alignment(
     scores: DataFrame,
     threshold: float = config.SIM_SCORE_THRESHOLD,
-    max_rounds: int = 10,
 ) -> DataFrame:
     """MODH stand-in (OntoEmma.py:576-611): approximate global 1:1
     assignment. Deterministic mutual-best rounds: a pair is matched when
@@ -45,6 +44,10 @@ def greedy_one_to_one_alignment(
     of its target; matched rows are removed and the round repeats. This
     is the classic distributed greedy-matching algorithm — every round is
     two window ranks + a filter, no driver-side state.
+
+    Termination: the globally best remaining pair is always mutual-best,
+    so every round matches ≥1 pair and the loop ends in ≤ min(|S|, |T|)
+    rounds — the result is a maximal matching by construction.
 
     Diverges from the reference's randomized row-order greedy
     (modified_hungarian.py:113-118 shuffles rows) — documented
@@ -54,7 +57,7 @@ def greedy_one_to_one_alignment(
     matched = None
     ws = Window.partitionBy("s_id").orderBy(F.desc("score"), F.asc("t_id"))
     wt = Window.partitionBy("t_id").orderBy(F.desc("score"), F.asc("s_id"))
-    for _ in range(max_rounds):
+    while True:
         ranked = remaining.withColumn("rs", F.row_number().over(ws)).withColumn(
             "rt", F.row_number().over(wt)
         )

@@ -64,11 +64,25 @@ def _checkpoint(df: DataFrame, out_dir: str, stage: str, manifest: dict, metrics
         writer.write.mode("overwrite").partitionBy("bucket").parquet(path)
     else:
         writer.write.mode("overwrite").parquet(path)
-    manifest["stages"][stage] = {"path": path, "metrics": metrics, "done": True}
+    manifest["stages"][stage] = {
+        "path": path,
+        "metrics": metrics,
+        "done": True,
+        # schema pinned in the manifest: an empty stage output writes no
+        # part files, so a RESUMING run could not infer it either.
+        "schema": writer.schema.json(),
+    }
     _write_manifest(out_dir, manifest)
-    # explicit schema: an empty stage output writes no part files and
-    # schema inference would fail on re-read.
     return df.sparkSession.read.schema(writer.schema).parquet(path)
+
+
+def _read_stage(spark: SparkSession, stage_entry: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    if "schema" in stage_entry:
+        reader = reader.schema(StructType.fromJson(json.loads(stage_entry["schema"])))
+    return reader.parquet(stage_entry["path"])
 
 
 def run_pipeline(
@@ -85,7 +99,7 @@ def run_pipeline(
 
     # ---- stage 1: extract ---------------------------------------------
     if "extract" in done:
-        triples = spark.read.parquet(done["extract"]["path"])
+        triples = _read_stage(spark, done["extract"])
     else:
         with_text = pages.withColumn(
             "text", F.coalesce(F.col("text"), extract_text_col("html"))
@@ -104,7 +118,7 @@ def run_pipeline(
 
     # ---- stage 2: link --------------------------------------------------
     if "link" in done:
-        links = spark.read.parquet(done["link"]["path"])
+        links = _read_stage(spark, done["link"])
     else:
         # mention table: distinct surface forms from subj+obj positions.
         mentions = (
@@ -131,7 +145,7 @@ def run_pipeline(
 
     # ---- stage 3: canonicalize -----------------------------------------
     if "canonicalize" in done:
-        canon = spark.read.parquet(done["canonicalize"]["path"])
+        canon = _read_stage(spark, done["canonicalize"])
     else:
         cc = connected_components(links.select("s_id", "t_id"), src="s_id", dst="t_id")
         canon = _checkpoint(cc, out_dir, "canonicalize", manifest, metrics={})

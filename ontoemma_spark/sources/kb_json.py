@@ -22,6 +22,40 @@ from pyspark.sql import functions as F
 from ontoemma_spark.schemas import EDGE_SCHEMA, ENTITY_SCHEMA
 
 
+_DETAIL_KEYS = ["wiki_entities", "mesh_synonyms", "dbpedia_synonyms"]
+
+
+def _additional_details_map(raw: DataFrame):
+    """Rebuild the additional_details map from the inferred JSON struct:
+    enrichment keys consumed by the feature generator, with the legacy
+    misspelling patch (mesh_synonynms → mesh_synonyms,
+    EngineeredFeatureGenerator.py:216-218) and [] defaults."""
+    struct_fields: set[str] = set()
+    schema = raw.schema
+    if "entities" in schema.names:
+        el = schema["entities"].dataType.elementType
+        if hasattr(el, "names") and "additional_details" in el.names:
+            ad = el["additional_details"].dataType
+            if hasattr(ad, "names"):
+                struct_fields = set(ad.names)
+
+    def key_col(key: str):
+        sources = []
+        if key in struct_fields:
+            sources.append(F.col(f"e.additional_details.{key}"))
+        if key == "mesh_synonyms" and "mesh_synonynms" in struct_fields:
+            sources.append(F.col("e.additional_details.mesh_synonynms"))
+        sources.append(F.array().cast("array<string>"))
+        return F.coalesce(*sources)
+
+    entries = []
+    for key in _DETAIL_KEYS:
+        entries.extend([F.lit(key), key_col(key)])
+    return F.map_from_arrays(
+        F.array(*entries[0::2]), F.array(*entries[1::2])
+    )
+
+
 def load_kb_json(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """(entities, edges) from a whole-KB JSON file (S1)."""
     raw = spark.read.option("multiLine", "true").json(path)
@@ -35,15 +69,20 @@ def load_kb_json(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         F.coalesce(F.col("e.other_contexts"), F.array().cast("array<string>")).alias(
             "other_contexts"
         ),
-        F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
+        _additional_details_map(raw).alias("additional_details"),
     )
-    edges = raw.select(F.explode("relations").alias("r")).select(
-        F.col("r.entity_ids")[0].alias("subject_id"),
-        F.col("r.entity_ids")[1].alias("object_id"),
-        F.col("r.relation_type").alias("relation_type"),
-        F.coalesce(F.col("r.symmetric"), F.lit(False)).alias("symmetric"),
-        F.lit(None).cast("array<string>").alias("labels"),
-    )
+    rel_el = raw.schema["relations"].dataType.elementType if "relations" in raw.schema.names else None
+    if rel_el is None or not hasattr(rel_el, "names"):
+        # empty relations list infers as array<string> — no edges
+        edges = spark.createDataFrame([], EDGE_SCHEMA)
+    else:
+        edges = raw.select(F.explode("relations").alias("r")).select(
+            F.col("r.entity_ids")[0].alias("subject_id"),
+            F.col("r.entity_ids")[1].alias("object_id"),
+            F.col("r.relation_type").alias("relation_type"),
+            F.coalesce(F.col("r.symmetric"), F.lit(False)).alias("symmetric"),
+            F.lit(None).cast("array<string>").alias("labels"),
+        )
     return ents, edges
 
 

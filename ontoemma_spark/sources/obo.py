@@ -28,6 +28,13 @@ _DEF_RE = re.compile(r'def:\s*"([^"]*)"')
 def _parse_obo_stanzas(text: str, kb_prefix: str) -> tuple[list, list]:
     ents, edges = [], []
     for stanza in text.split("[Term]")[1:]:
+        # cut at the next stanza header ([Typedef], [Instance], ...) —
+        # the reference chunker stops at the first non-Term tag
+        # (kb_load_refactor.py:68-77); without this, trailing typedefs
+        # merge into the last term's fields.
+        next_header = re.search(r"^\[\w+\]", stanza, flags=re.MULTILINE)
+        if next_header:
+            stanza = stanza[: next_header.start()]
         fields: dict[str, list[str]] = {}
         for line in stanza.splitlines():
             line = line.strip()

@@ -56,6 +56,15 @@ def make_sessionizer(gap_seconds: int = DEFAULT_GAP_SECONDS):
         ts_list.sort()
         if state.exists:
             start, last, n = state.get
+            # drop cross-batch late events older than the state frontier:
+            # moving `last` backwards would mis-split sessions (the
+            # within-batch sort handles intra-batch disorder; cross-batch
+            # order is the source's contract, e.g. event-time-ordered
+            # ingest; a real deployment widens this with an event-time
+            # timeout + reordering buffer)
+            ts_list = [t for t in ts_list if t >= last]
+            if not ts_list:
+                return
         else:
             start = last = ts_list[0]
             n = 0
