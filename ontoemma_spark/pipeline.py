@@ -92,10 +92,42 @@ def run_pipeline(
     out_dir: str,
     model: LRModel | None = None,
     threshold: float = config.SIM_SCORE_THRESHOLD,
+    incremental: bool = False,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns the manifest."""
+    """Run (or resume) the full pipeline; returns the manifest.
+
+    incremental=True: when a completed extract checkpoint exists, only
+    pages whose url is NOT in the processed-url set are extracted; their
+    triples are appended to the extract checkpoint and the downstream
+    stages (link → canonicalize → materialize) are recomputed over the
+    union. Extraction is the full-corpus scan — at 10^12 pages the
+    incremental delta is the only affordable operating mode (on Iceberg
+    this is an incremental read between snapshots).
+    """
     manifest = read_manifest(out_dir)
     done = manifest["stages"]
+
+    if incremental and "extract" in done:
+        urls_path = os.path.join(out_dir, "processed_urls")
+        processed = spark.read.schema("url string").parquet(urls_path)
+        new_pages = pages.join(processed, "url", "left_anti")
+        n_new = new_pages.count()
+        if n_new > 0:
+            with_text = new_pages.withColumn(
+                "text", F.coalesce(F.col("text"), extract_text_col("html"))
+            )
+            extract_triples(with_text).write.mode("append").parquet(
+                done["extract"]["path"]
+            )
+            new_pages.select("url").write.mode("append").parquet(urls_path)
+            # downstream stages are stale → recompute over the union
+            for stage in ["link", "canonicalize", "materialize"]:
+                manifest["stages"].pop(stage, None)
+            manifest["stages"]["extract"]["metrics"]["pages"] += n_new
+            triples_now = _read_stage(spark, manifest["stages"]["extract"])
+            manifest["stages"]["extract"]["metrics"]["triples"] = triples_now.count()
+            _write_manifest(out_dir, manifest)
+            done = manifest["stages"]
 
     # ---- stage 1: extract ---------------------------------------------
     if "extract" in done:
@@ -110,6 +142,10 @@ def run_pipeline(
         triples = _checkpoint(
             raw_triples, out_dir, "extract", manifest,
             metrics={},  # filled after action below
+        )
+        # processed-url ledger for incremental re-runs
+        pages.select("url").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "processed_urls")
         )
         manifest["stages"]["extract"]["metrics"] = {
             "pages": obs.get["pages"], "triples": triples.count()

@@ -60,3 +60,35 @@ def test_pipeline_runs_and_resumes(spark, tmp_path_factory):
     edges = spark.read.parquet(f"{out_dir}/materialize")
     assert "bucket" in edges.columns
     assert edges.count() == manifest["stages"]["materialize"]["metrics"]["edges"]
+
+
+def test_pipeline_incremental_processes_only_new_pages(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("kgpipe_inc"))
+    kb, _ = synthetic_kb(spark, "KB", n_entities=40)
+    first = synthetic_pages(spark, n_pages=20)
+    m1 = run_pipeline(spark, first, kb, out_dir)
+    assert m1["stages"]["extract"]["metrics"]["pages"] == 20
+    edges_1 = m1["stages"]["materialize"]["metrics"]["edges"]
+
+    # grown input: 10 new pages appended (same first 20, deterministic)
+    grown = synthetic_pages(spark, n_pages=30)
+    m2 = run_pipeline(spark, grown, kb, out_dir, incremental=True)
+    assert m2["stages"]["extract"]["metrics"]["pages"] == 30
+    assert m2["stages"]["materialize"]["metrics"]["edges"] > edges_1
+
+    # ground truth: a fresh full run over the 30 pages must agree
+    fresh_dir = str(tmp_path_factory.mktemp("kgpipe_fresh"))
+    m3 = run_pipeline(spark, grown, kb, fresh_dir)
+    assert (
+        m2["stages"]["materialize"]["metrics"]
+        == m3["stages"]["materialize"]["metrics"]
+    )
+    inc_edges = spark.read.parquet(f"{out_dir}/materialize")
+    fresh_edges = spark.read.parquet(f"{fresh_dir}/materialize")
+    assert sorted(map(tuple, inc_edges.drop("bucket").collect())) == sorted(
+        map(tuple, fresh_edges.drop("bucket").collect())
+    )
+
+    # idempotent: re-running incrementally with no new pages is a no-op
+    m4 = run_pipeline(spark, grown, kb, out_dir, incremental=True)
+    assert m4 == m2
