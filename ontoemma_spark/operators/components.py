@@ -52,17 +52,30 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(msgs, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+            (
+                F.col("nbr_component").isNotNull()
+                & (F.col("nbr_component") < F.col("component"))
+            ).alias("changed"),
+        )
+        # pointer jumping (label ← label-of-label): compresses chains so
+        # convergence is O(log diameter) rounds instead of O(diameter) —
+        # the difference between 40 and 10^6 rounds on long match chains.
+        parent = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("grand")
+        ).groupBy("component").agg(F.min("grand").alias("grand"))
         new_labels = (
-            labels.join(msgs, "node", "left")
+            propagated.join(parent, "component", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-                (
-                    F.col("nbr_component").isNotNull()
-                    & (F.col("nbr_component") < F.col("component"))
-                ).alias("changed"),
+                F.least(F.col("component"), F.coalesce("grand", F.col("component"))).alias(
+                    "component"
+                ),
+                "changed",
             )
             .localCheckpoint(eager=True)
         )

@@ -103,3 +103,14 @@ def test_merge_entities(spark):
     assert got["k1"]["research_entity_id"] == "KB:1|KB:2"
     assert got["k1"]["aliases"] == ["a", "alpha", "beta"]
     assert got["k2"]["research_entity_id"] == "KB:3"
+
+
+def test_connected_components_very_long_chain_pointer_jumping(spark):
+    # 200-node path: naive min-propagation needs ~200 rounds (> the 50
+    # cap); pointer jumping converges in O(log n)
+    edges = spark.createDataFrame(
+        [(f"p{i:03d}", f"p{i+1:03d}") for i in range(200)], "src string, dst string"
+    )
+    got = connected_components(edges).collect()
+    assert len(got) == 201
+    assert all(r["component"] == "p000" for r in got)
