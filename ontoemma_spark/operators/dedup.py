@@ -219,3 +219,86 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def ngram_jaccard_pairs_broadcast(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """ngram_jaccard_pairs with the shingle self-join eliminated: the
+    shingle→docs postings index is broadcast as numpy arrays and each
+    task accumulates intersection counts for its docs against all
+    others (np.add.at) — the Σ df² pair-intermediate never shuffles.
+
+    Same regime caveat as candidate_pairs_broadcast_index: the postings
+    index must fit in executor memory. For an unbounded corpus, apply
+    per LSH bucket / per partition group, or use the relational
+    ngram_jaccard_pairs. Output identical (doc_a < doc_b, exact jaccard).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_array(text_col, w)).alias("sh"),
+    )
+    rows = sh.select("doc_id", F.explode("sh").alias("shingle")).groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("doc_ids")
+    ).collect()
+    spark = docs.sparkSession
+    all_docs = sorted({d for r in rows for d in r["doc_ids"]})
+    code = {d: i for i, d in enumerate(all_docs)}
+    postings = {
+        r["shingle"]: np.array([code[d] for d in r["doc_ids"]], dtype=np.int64)
+        for r in rows
+    }
+    sizes = np.zeros(len(all_docs), dtype=np.int64)
+    for ids in postings.values():
+        sizes[ids] += 1
+    bc = spark.sparkContext.broadcast(
+        (postings, np.array(all_docs, dtype=object), sizes, code)
+    )
+
+    id_type = sh.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, jaccard double"
+
+    # the docs scan is often a single split — spread the probe work
+    sh = sh.repartition(spark.sparkContext.defaultParallelism)
+
+    def probe(batches):
+        postings_l, names, sizes_l, code_l = bc.value
+        acc = np.zeros(len(names), dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_a": [], "doc_b": [], "jaccard": []}
+            for doc_id, shingles in zip(pdf["doc_id"], pdf["sh"]):
+                me = code_l[doc_id]
+                touched = []
+                for s in shingles:
+                    ids = postings_l.get(s)
+                    if ids is not None:
+                        acc[ids] += 1
+                        touched.append(ids)
+                if not touched:
+                    continue
+                cand = np.unique(np.concatenate(touched))
+                # emit each unordered pair once: only partners AFTER me
+                cand = cand[cand > me]
+                if len(cand):
+                    inter = acc[cand]
+                    union = sizes_l[me] + sizes_l[cand] - inter
+                    jac = inter / union
+                    keep = jac >= min_jaccard
+                    k = int(keep.sum())
+                    if k:
+                        out["doc_a"].extend([doc_id] * k)
+                        out["doc_b"].extend(names[cand[keep]])
+                        out["jaccard"].extend(jac[keep])
+                # reset accumulator for touched docs
+                for ids in touched:
+                    acc[ids] = 0
+            yield pd.DataFrame(out)
+
+    return sh.mapInPandas(probe, schema=out_schema)

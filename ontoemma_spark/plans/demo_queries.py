@@ -708,10 +708,14 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SIMHASH_BITS} AS simhash FROM agg
 
 # 19. ngram_jaccard_dups — exact pairwise n-gram jaccard (blocked)
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared-shingle-blocked pairwise jaccard ≥ JACCARD_MIN."""
+    """Shared-shingle-blocked pairwise jaccard ≥ JACCARD_MIN — broadcast
+    postings kernel (identical output to the relational self-join,
+    tests/test_broadcast_index.py; the self-join's Σ df² intermediate
+    never shuffles)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, w=SHINGLE_W)
-    return D.ngram_jaccard_pairs(sh, min_jaccard=JACCARD_MIN).select(
+    return D.ngram_jaccard_pairs_broadcast(
+        docs, w=SHINGLE_W, min_jaccard=JACCARD_MIN
+    ).select(
         F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
         F.round("jaccard", 6).alias("jaccard"),
     )

@@ -37,3 +37,24 @@ def test_broadcast_index_no_wide_shuffle(spark):
     # no join node: the pair table is never materialized relationally
     assert "Join" not in plan.split("FlatMapGroupsInPandas")[0] if "FlatMapGroups" in plan else True
     assert df.count() > 0
+
+
+def test_broadcast_jaccard_equals_relational(spark):
+    from ontoemma_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_broadcast,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rel = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(word_shingles(docs, w=2), min_jaccard=0.3).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_broadcast(docs, w=2, min_jaccard=0.3).collect()
+    }
+    assert set(rel) == set(fast)
+    for k in rel:
+        assert abs(rel[k] - fast[k]) < 1e-12, k
