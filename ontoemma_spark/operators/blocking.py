@@ -160,6 +160,7 @@ def candidate_pairs_broadcast_index(
     t_count: int,
     idf_limit: float = config.IDF_LIMIT,
     top_k: int = config.KEEP_TOP_K_CANDIDATES,
+    max_index_rows: int = 2_000_000,
 ) -> DataFrame:
     """candidate_pairs with the pair fan-out eliminated: the target
     inverted index (token → postings) is broadcast as numpy arrays and
@@ -170,7 +171,11 @@ def candidate_pairs_broadcast_index(
     This is the distributed version of the reference's own design
     (CandidateSelection.py:31-44 holds exactly this index in one dict);
     valid whenever the KB-side index fits in executor memory (KBs are
-    ≤10^6 entities vs 10^12 mentions — the north-rule regime).
+    ≤10^6 entities vs 10^12 mentions — the north-rule regime). That
+    regime is ENFORCED: the index row count is checked first (cheap
+    count job) and above max_index_rows the call falls back to the
+    relational candidate_pairs plan, so a both-sides-big misuse cannot
+    OOM the driver (tests/test_review_fixes.py pins fallback identity).
 
     Identical output to candidate_pairs: scores are sums over shared
     tokens accumulated in ascending token order (both engines sum ≤
@@ -184,15 +189,21 @@ def candidate_pairs_broadcast_index(
         token_idf(s_tokens, s_count), token_idf(t_tokens, t_count)
     ).filter((F.col("s_idf") >= idf_limit) & (F.col("t_idf") >= idf_limit))
 
-    t_index_rows = (
+    t_index_df = (
         t_tokens.join(F.broadcast(vocab.select("token", "t_idf")), "token")
         .groupBy("token")
         .agg(
             F.array_sort(F.collect_list("entity_id")).alias("t_ids"),
             F.first("t_idf").alias("t_idf"),
         )
-        .collect()
     )
+    index_entries = t_index_df.select(F.sum(F.size("t_ids"))).first()[0] or 0
+    if index_entries > max_index_rows:
+        return candidate_pairs(
+            s_tokens, t_tokens, s_count, t_count,
+            idf_limit=idf_limit, top_k=top_k,
+        )
+    t_index_rows = t_index_df.collect()
     spark = s_tokens.sparkSession
     # integer-code target ids; postings as numpy arrays
     all_t = sorted({t for r in t_index_rows for t in r["t_ids"]})

