@@ -1102,8 +1102,11 @@ LEFT JOIN t_norm tn ON p.t_id = tn.t_id
 
 # ---------------------------------------------------------------------------
 # 30. kg_pipeline — the full 4-stage pipeline (extract → link →
-# canonicalize → materialize). Multi-stage/iterative (CC fixpoint) →
-# NOT SQL-expressible; registered without an oracle (rows-only check).
+# canonicalize → materialize), WITH a full DuckDB oracle: the linking
+# math (NUL-padded 5-grams, IDF floor, top-K candidates, equiv
+# restricted to candidates, BEST strategy) is plain SQL, and the CC
+# fixpoint is a WITH RECURSIVE reachability closure (component =
+# min reachable node — generic, not a closed form for this input).
 # ---------------------------------------------------------------------------
 
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,6 +1182,107 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle replays every stage of q_kg_pipeline in DuckDB:
+#   pages/triples     — the deterministic page synthesis + the pattern
+#                       extractor's output on it (same closed form the
+#                       green triple_extract oracle uses);
+#   toks/idf/vocab    — entity_tokens (word tokens minus stopwords ∪
+#                       NUL-padded char-5-grams of the normalized
+#                       alias, blocking.py:31) + the ln(20) IDF floor;
+#   pairs/ranked      — the blocking join + top-100 window
+#                       (blocking.py:79);
+#   equiv/links       — normalized-alias equivalence restricted to
+#                       candidates (string_equiv.py:27) + BEST strategy
+#                       (all equiv scores are 1.0 ≥ 0.9, so BEST = min
+#                       t_id per source, strategy.py:20);
+#   walk/cc           — hash-min connected components as a RECURSIVE
+#                       reachability closure: component(x) = min node
+#                       reachable from x over symmetrized link edges —
+#                       the generic fixpoint, valid for any link graph;
+#   final SELECT      — triple endpoint rewrite to canonical ids.
+# The model-scoring branch is provably empty on this input: every
+# source with any candidate has its exact twin at rank 1 (identical
+# token sets ⇒ maximal score), so the string-equiv anti-join removes
+# all candidates before scoring (align.py:87-92).
+SQL_KG_PIPELINE = f"""
+WITH RECURSIVE pages AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, string_split(text, ' ') AS t FROM documents
+),
+triples AS (
+  SELECT url, t[1] AS subj, 'is_a' AS pred, t[2] AS obj FROM pages
+  UNION ALL
+  SELECT url, t[3] AS subj, 'part_of' AS pred, t[4] AS obj FROM pages
+),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(t[1:4]) AS w FROM pages
+  )
+),
+n_ents AS (SELECT count(*) AS n FROM words),
+norm AS (
+  SELECT w, translate(lower(trim(w)), '_-', ' ') AS nw FROM words
+),
+toks AS (
+  SELECT w, token FROM (
+    SELECT w, unnest(list_distinct(
+      list_filter(regexp_extract_all(nw, '[A-Za-z0-9]+'),
+                  x -> NOT list_contains({_STOP_LIST_SQL}, x))
+      || list_transform(
+           generate_series(1, length(repeat(chr(0),4) || nw || repeat(chr(0),4)) - 4),
+           i -> substr(repeat(chr(0),4) || nw || repeat(chr(0),4), i, 5))
+    )) AS token
+    FROM norm
+  )
+),
+idf AS (
+  SELECT token, ln((SELECT n FROM n_ents) / count(*) + 1) AS idf
+  FROM toks GROUP BY token
+),
+vocab AS (SELECT token, idf FROM idf WHERE idf >= ln(20)),
+pairs AS (
+  SELECT s.w AS sw, tt.w AS tw, sum(v.idf) AS cand_score
+  FROM toks s JOIN vocab v USING (token) JOIN toks tt USING (token)
+  GROUP BY s.w, tt.w
+),
+ranked AS (
+  SELECT sw, tw, row_number() OVER (
+           PARTITION BY sw ORDER BY cand_score DESC, 'KB:' || tw ASC) AS rank
+  FROM pairs
+),
+cands AS (SELECT sw, tw FROM ranked WHERE rank <= {config.KEEP_TOP_K_CANDIDATES}),
+equiv AS (
+  SELECT c.sw, c.tw FROM cands c
+  JOIN norm ns ON ns.w = c.sw JOIN norm nt ON nt.w = c.tw
+  WHERE ns.nw = nt.nw
+),
+links AS (
+  SELECT 'MENTION:' || sw AS s_id, min('KB:' || tw) AS t_id
+  FROM equiv GROUP BY sw
+),
+edges AS (
+  SELECT s_id AS src, t_id AS dst FROM links
+  UNION
+  SELECT t_id, s_id FROM links
+),
+walk AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT e.dst, w.reach FROM walk w JOIN edges e ON w.node = e.src
+),
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+mention_map AS (
+  SELECT substr(node, 9) AS w, component FROM cc WHERE node LIKE 'MENTION:%'
+)
+SELECT DISTINCT
+  coalesce(sm.component, 'MENTION:' || tr.subj) AS subject_id,
+  tr.pred AS relation_type,
+  coalesce(om.component, 'MENTION:' || tr.obj) AS object_id
+FROM triples tr
+LEFT JOIN mention_map sm ON sm.w = tr.subj
+LEFT JOIN mention_map om ON om.w = tr.obj
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1213,8 +1317,6 @@ QUERIES: dict[str, callable] = {
     "eval_at_k": q_eval_at_k,
     "train_split": q_train_split,
     "tfidf_cosine": q_tfidf_cosine,
-    # non-SQL-expressible (iterative CC fixpoint) → no oracle entry;
-    # the driver records a rows-only check for this one.
     "kg_pipeline": q_kg_pipeline,
 }
 
@@ -1248,4 +1350,5 @@ ORACLES: dict[str, str] = {
     "eval_at_k": SQL_EVAL_AT_K,
     "train_split": SQL_TRAIN_SPLIT,
     "tfidf_cosine": SQL_TFIDF_COSINE,
+    "kg_pipeline": SQL_KG_PIPELINE,
 }
