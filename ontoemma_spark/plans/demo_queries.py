@@ -1182,6 +1182,60 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 31. nn_scores — M3: the trained NN pair scorer over blocking candidates
+# ---------------------------------------------------------------------------
+
+def q_nn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: trained MLP pair scorer (the reference's decision-network
+    analog, ontoemma_model.py:73-164) over the even/odd blocking
+    candidates. Weights are PINNED (scripts/train_nn.py, deterministic
+    backprop); the forward pass runs as native column expressions
+    (whole-stage codegen — zero Python in the pair hot path), and the
+    oracle replays the exact same literalized matrix math in DuckDB."""
+    from ontoemma_spark.operators.nn_weights import default_nn_model
+    from ontoemma_spark.operators.scoring_nn import nn_pair_features
+
+    part = _t(spark, sf_dir, "part")
+    cands = _blocking_candidates_df(spark, sf_dir).select("s_id", "t_id")
+    s_names = part.select(
+        F.col("p_partkey").alias("s_id"), F.col("p_name").alias("s_name")
+    )
+    t_names = part.select(
+        F.col("p_partkey").alias("t_id"), F.col("p_name").alias("t_name")
+    )
+    featurized = (
+        cands.join(F.broadcast(s_names), "s_id")
+        .join(F.broadcast(t_names), "t_id")
+        .select("s_id", "t_id", *nn_pair_features("s_name", "t_name"))
+    )
+    model = default_nn_model()
+    return model.score_pairs(featurized).select(
+        F.col("s_id").cast("bigint"),
+        F.col("t_id").cast("bigint"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_nn_scores() -> str:
+    from ontoemma_spark.operators.nn_weights import default_nn_model
+    from ontoemma_spark.operators.scoring_nn import (
+        mlp_forward_sql,
+        sql_pair_features,
+    )
+
+    feats = sql_pair_features("sp.p_name", "tp.p_name")
+    score = mlp_forward_sql(default_nn_model(), feats)
+    return _BLOCK_SQL_CTES + f"""
+, kept AS (SELECT s_id, t_id FROM ranked WHERE rank <= {BLOCK_TOP_K})
+SELECT CAST(k.s_id AS BIGINT) AS s_id, CAST(k.t_id AS BIGINT) AS t_id,
+       round({score}, 6) AS score
+FROM kept k
+JOIN part sp ON sp.p_partkey = k.s_id
+JOIN part tp ON tp.p_partkey = k.t_id
+"""
+
+
 # The oracle replays every stage of q_kg_pipeline in DuckDB:
 #   pages/triples     — the deterministic page synthesis + the pattern
 #                       extractor's output on it (same closed form the
@@ -1318,6 +1372,7 @@ QUERIES: dict[str, callable] = {
     "train_split": q_train_split,
     "tfidf_cosine": q_tfidf_cosine,
     "kg_pipeline": q_kg_pipeline,
+    "nn_scores": q_nn_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -1351,4 +1406,5 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "tfidf_cosine": SQL_TFIDF_COSINE,
     "kg_pipeline": SQL_KG_PIPELINE,
+    "nn_scores": _sql_nn_scores(),
 }

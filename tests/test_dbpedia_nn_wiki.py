@@ -32,8 +32,8 @@ def test_nn_scorer_plumbing(spark):
         "s_id string, t_id string, s_name string, t_name string",
     )
     got = {r["s_id"]: r["score"] for r in score_pairs_nn(pairs).collect()}
-    assert got["s1"] == 1.0          # exact-name pair scores 1.0
-    assert 0.0 <= got["s2"] < 0.5    # fake model keeps non-matches below threshold
+    assert got["s1"] > 0.9           # exact-name pair scores high
+    assert 0.0 <= got["s2"] < 0.5    # trained model keeps non-matches below threshold
     # deterministic across runs
     again = {r["s_id"]: r["score"] for r in score_pairs_nn(pairs).collect()}
     assert got == again
