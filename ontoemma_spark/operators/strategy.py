@@ -52,6 +52,13 @@ def greedy_one_to_one_alignment(
     Diverges from the reference's randomized row-order greedy
     (modified_hungarian.py:113-118 shuffles rows) — documented
     deliberate determinism (SURVEY.md §7.3 hard part 2).
+
+    For OUTPUT FIDELITY with the reference algorithm (including its
+    iterative cost reduction and quirks), use
+    operators.assignment.modified_hungarian_alignment — the faithful
+    seeded port, KB-bounded driver-side numpy, pinned against the
+    reference's own fixture in tests/test_modh.py. This greedy remains
+    the unbounded-input scale path.
     """
     remaining = scores.filter(F.col("score") >= threshold)
     matched = None
