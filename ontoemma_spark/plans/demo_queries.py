@@ -16,6 +16,8 @@ Each query's docstring cites the SURVEY §2 operator ids it covers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1236,6 +1238,271 @@ JOIN part tp ON tp.p_partkey = k.t_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 32-35. source-format round trips (S4/S5/S9/S11/S12/S13) — each query
+# SERIALIZES a fixture deterministically from the part table into the
+# real on-disk format, runs the REAL parser on it, and the oracle
+# recomputes the parsed rows closed-form from part. This puts the
+# OBO/OWL/TSV/OAEI parse semantics under the driver's value-hash gate
+# (they were pytest-only in round 1).
+# ---------------------------------------------------------------------------
+
+_FIXTURE_KEY_MAX = 60  # part keys 0..59 feed the serialized fixtures
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ontoemma_srcfix_{tag}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _fixture_parts(spark: SparkSession, sf_dir: str):
+    part = _t(spark, sf_dir, "part")
+    return sorted(
+        part.filter(F.col("p_partkey") < _FIXTURE_KEY_MAX)
+        .select("p_partkey", "p_name")
+        .collect(),
+        key=lambda r: r["p_partkey"],
+    )
+
+
+def q_obo_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: serialize part rows as OBO [Term] stanzas (id/name/synonym/
+    def/is_a/relationship), parse with the real stanza parser
+    (sources/obo.py — kb_load_refactor.py:128-244 semantics), emit one
+    row per entity with alias/definition and per-relation edge counts."""
+    from ontoemma_spark.sources.obo import load_obo
+
+    rows = _fixture_parts(spark, sf_dir)
+    lines = []
+    for r in rows:
+        k, name = r["p_partkey"], r["p_name"]
+        lines.append("[Term]")
+        lines.append(f"id: T{k:04d}")
+        lines.append(f"name: {name}")
+        lines.append(f'synonym: "{name} synonym" EXACT []')
+        lines.append(f'def: "definition of {name}" [demo:src]')
+        if k >= 2:
+            lines.append(f"is_a: T{k - 2:04d} ! parent")
+        if k >= 3 and k % 2 == 1:
+            lines.append(f"relationship: part_of T{k - 1:04d} ! whole")
+        lines.append("")
+    path = os.path.join(_fixture_dir(sf_dir), "fixture.obo")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    ents, edges = load_obo(spark, path, kb_prefix="OBO")
+    isa = edges.filter(F.col("relation_type") == "is_a").groupBy(
+        F.col("subject_id").alias("research_entity_id")
+    ).agg(F.count(F.lit(1)).alias("n_is_a"))
+    po = edges.filter(F.col("relation_type") == "part_of").groupBy(
+        F.col("subject_id").alias("research_entity_id")
+    ).agg(F.count(F.lit(1)).alias("n_part_of"))
+    return (
+        ents.join(isa, "research_entity_id", "left")
+        .join(po, "research_entity_id", "left")
+        .select(
+            "research_entity_id",
+            "canonical_name",
+            F.array_join("aliases", "|").alias("aliases_joined"),
+            "definition",
+            F.coalesce("n_is_a", F.lit(0)).cast("bigint").alias("n_is_a"),
+            F.coalesce("n_part_of", F.lit(0)).cast("bigint").alias("n_part_of"),
+        )
+    )
+
+
+SQL_OBO_LOAD = f"""
+SELECT 'OBO:T' || lpad(CAST(p_partkey AS VARCHAR), 4, '0') AS research_entity_id,
+       p_name AS canonical_name,
+       p_name || '|' || p_name || ' synonym' AS aliases_joined,
+       'definition of ' || p_name AS definition,
+       CAST(CASE WHEN p_partkey >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_is_a,
+       CAST(CASE WHEN p_partkey >= 3 AND p_partkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_part_of
+FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+def q_owl_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: serialize part rows as owl:Class RDF/XML (rdfs:label,
+    skos:altLabel on even keys, skos:definition, rdfs:subClassOf),
+    parse with the real ElementTree parser (sources/owl.py —
+    kb_load_refactor.py:288-452 semantics)."""
+    from ontoemma_spark.sources.owl import load_owl
+
+    rows = _fixture_parts(spark, sf_dir)
+    cells = []
+    for r in rows:
+        k, name = r["p_partkey"], r["p_name"]
+        alt = (
+            f'<skos:altLabel xmlns:skos="http://www.w3.org/2004/02/skos/core#">'
+            f"{name} alt</skos:altLabel>"
+            if k % 2 == 0
+            else ""
+        )
+        sub = (
+            f'<rdfs:subClassOf rdf:resource="http://example.org/onto#C{k - 2}"/>'
+            if k >= 2
+            else ""
+        )
+        cells.append(
+            f'<owl:Class rdf:about="http://example.org/onto#C{k}">'
+            f"<rdfs:label>{name}</rdfs:label>{alt}"
+            f'<skos:definition xmlns:skos="http://www.w3.org/2004/02/skos/core#">'
+            f"def of {name}</skos:definition>{sub}</owl:Class>"
+        )
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+        '  xmlns:skos="http://www.w3.org/2004/02/skos/core#"\n'
+        '  xmlns:owl="http://www.w3.org/2002/07/owl#">\n'
+        + "\n".join(cells)
+        + "\n</rdf:RDF>\n"
+    )
+    path = os.path.join(_fixture_dir(sf_dir), "fixture.owl")
+    with open(path, "w") as f:
+        f.write(xml)
+    ents, edges = load_owl(spark, path, kb_prefix="OWL")
+    sub = edges.groupBy(F.col("subject_id").alias("research_entity_id")).agg(
+        F.count(F.lit(1)).alias("n_sub")
+    )
+    return ents.join(sub, "research_entity_id", "left").select(
+        "research_entity_id",
+        "canonical_name",
+        F.size("aliases").cast("bigint").alias("n_aliases"),
+        "definition",
+        F.coalesce("n_sub", F.lit(0)).cast("bigint").alias("n_subclassof"),
+    )
+
+
+SQL_OWL_LOAD = f"""
+SELECT 'OWL:C' || CAST(p_partkey AS VARCHAR) AS research_entity_id,
+       p_name AS canonical_name,
+       CAST(CASE WHEN p_partkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_aliases,
+       'def of ' || p_name AS definition,
+       CAST(CASE WHEN p_partkey >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_subclassof
+FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+def _fixture_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        (F.col("p_partkey") % 2 == 0) & (F.col("p_partkey") < _FIXTURE_KEY_MAX)
+    ).select(
+        F.concat(F.lit("S"), F.col("p_partkey").cast("string")).alias("s_id"),
+        F.concat(F.lit("T"), (F.col("p_partkey") + 1).cast("string")).alias("t_id"),
+        ((F.col("p_partkey") % 7) / F.lit(7.0)).alias("score"),
+    )
+
+
+def q_alignment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12→S9: write the 4-col gold TSV with the real sink (score-desc
+    sort, constant provenance — OntoEmma.py:952-968) and read it back
+    with the real source; value round-trip under the hash gate."""
+    from ontoemma_spark.sources.alignment import (
+        load_alignment_tsv,
+        write_alignment_tsv,
+    )
+
+    path = os.path.join(_fixture_dir(sf_dir), "alignment_tsv")
+    write_alignment_tsv(_fixture_alignment(spark, sf_dir), path)
+    return load_alignment_tsv(spark, path).select(
+        "s_id", "t_id", F.round("label", 6).alias("label"), "provenance"
+    )
+
+
+SQL_ALIGNMENT_ROUNDTRIP = f"""
+SELECT 'S' || CAST(p_partkey AS VARCHAR) AS s_id,
+       'T' || CAST(p_partkey + 1 AS VARCHAR) AS t_id,
+       round((p_partkey % 7) / 7.0, 6) AS label,
+       'OntoEmma' AS provenance
+FROM part WHERE p_partkey % 2 = 0 AND p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+def q_alignment_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13→S11: OAEI alignment RDF sink + source round trip
+    (OntoEmma.py:970-1016 / :127-154)."""
+    from ontoemma_spark.sources.owl import (
+        load_alignment_rdf,
+        write_alignment_rdf,
+    )
+
+    path = os.path.join(_fixture_dir(sf_dir), "alignment.rdf")
+    write_alignment_rdf(_fixture_alignment(spark, sf_dir), path)
+    return load_alignment_rdf(spark, path).select(
+        "s_id", "t_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ALIGNMENT_RDF_ROUNDTRIP = f"""
+SELECT 'S' || CAST(p_partkey AS VARCHAR) AS s_id,
+       'T' || CAST(p_partkey + 1 AS VARCHAR) AS t_id,
+       round((p_partkey % 7) / 7.0, 6) AS score
+FROM part WHERE p_partkey % 2 = 0 AND p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 36. neighborhood_sim — G3: one round of neighborhood score propagation
+# (the reference tests iterations=1 and 5 explicitly,
+# test_neighborhood_sim.py:31-44; align() defaults to 0 = identity)
+# ---------------------------------------------------------------------------
+
+def q_neighborhood_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 (OntoEmma.py:631-681) at iterations=1 over chain KBs derived
+    from part keys: s graph e→e+2 (even), t graph o→o+2 (odd), scored
+    diagonal pairs (e, e+1). One propagation round replaces each pair's
+    score with the exp(-(l1+l2)/2)-weighted mean of equal-path-length
+    scored neighbor pairs (self at weight 1, the (e+2, e+3) pair at
+    weight e^-1). Runs the REAL bfs_region + neighborhood_similarity
+    operators; the oracle computes the same weighted mean closed-form."""
+    from ontoemma_spark.operators.graph import bfs_region, neighborhood_similarity
+
+    part = _t(spark, sf_dir, "part")
+    even = part.filter((F.col("p_partkey") % 2 == 0) & (F.col("p_partkey") < 100))
+    scores = even.select(
+        F.col("p_partkey").alias("s_id"),
+        (F.col("p_partkey") + 1).alias("t_id"),
+        ((F.col("p_partkey") * 7 % 11) / F.lit(11.0)).alias("score"),
+    )
+    s_edges = even.filter(F.col("p_partkey") + 2 < 100).select(
+        F.col("p_partkey").alias("subject_id"),
+        (F.col("p_partkey") + 2).alias("object_id"),
+    )
+    t_edges = even.filter(F.col("p_partkey") + 3 < 101).select(
+        (F.col("p_partkey") + 1).alias("subject_id"),
+        (F.col("p_partkey") + 3).alias("object_id"),
+    )
+    s_regions = bfs_region(s_edges, scores.select(F.col("s_id").alias("seed")), steps=1)
+    t_regions = bfs_region(t_edges, scores.select(F.col("t_id").alias("seed")), steps=1)
+    out = neighborhood_similarity(scores, s_regions, t_regions, iterations=1)
+    return out.select(
+        F.col("s_id").cast("bigint"),
+        F.col("t_id").cast("bigint"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_NEIGHBORHOOD_SIM = """
+WITH scores AS (
+  SELECT p_partkey AS s_id, p_partkey + 1 AS t_id,
+         (p_partkey * 7 % 11) / 11.0 AS score
+  FROM part WHERE p_partkey % 2 = 0 AND p_partkey < 100
+)
+SELECT CAST(a.s_id AS BIGINT) AS s_id, CAST(a.t_id AS BIGINT) AS t_id,
+       round(
+         (1.0 * a.score + CASE WHEN b.s_id IS NOT NULL THEN exp(-1.0) * b.score ELSE 0.0 END)
+         / (1.0 + CASE WHEN b.s_id IS NOT NULL THEN exp(-1.0) ELSE 0.0 END), 6) AS score
+FROM scores a LEFT JOIN scores b ON b.s_id = a.s_id + 2
+"""
+
+
 # The oracle replays every stage of q_kg_pipeline in DuckDB:
 #   pages/triples     — the deterministic page synthesis + the pattern
 #                       extractor's output on it (same closed form the
@@ -1373,6 +1640,11 @@ QUERIES: dict[str, callable] = {
     "tfidf_cosine": q_tfidf_cosine,
     "kg_pipeline": q_kg_pipeline,
     "nn_scores": q_nn_scores,
+    "obo_load": q_obo_load,
+    "owl_load": q_owl_load,
+    "alignment_roundtrip": q_alignment_roundtrip,
+    "alignment_rdf_roundtrip": q_alignment_rdf_roundtrip,
+    "neighborhood_sim": q_neighborhood_sim,
 }
 
 ORACLES: dict[str, str] = {
@@ -1407,4 +1679,9 @@ ORACLES: dict[str, str] = {
     "tfidf_cosine": SQL_TFIDF_COSINE,
     "kg_pipeline": SQL_KG_PIPELINE,
     "nn_scores": _sql_nn_scores(),
+    "obo_load": SQL_OBO_LOAD,
+    "owl_load": SQL_OWL_LOAD,
+    "alignment_roundtrip": SQL_ALIGNMENT_ROUNDTRIP,
+    "alignment_rdf_roundtrip": SQL_ALIGNMENT_RDF_ROUNDTRIP,
+    "neighborhood_sim": SQL_NEIGHBORHOOD_SIM,
 }
