@@ -1,13 +1,22 @@
 """Suffix normalization for the stemmed/lemmatized name features.
 
-The reference uses NLTK's SnowballStemmer + WordNetLemmatizer
-(emma/EngineeredFeatureGenerator.py:29-30,90-104). Neither library is a
-dependency here, so we implement the classic Porter stemming algorithm
-(Porter, 1980 — public domain algorithm) and a small rule-based English
-lemmatizer for plural/verb suffixes. Divergence from NLTK outputs is
-documented; the *feature semantics* (suffix-normalized token equality)
-are preserved, and both sides of a pair go through the same stemmer so
-match features stay consistent.
+The reference uses NLTK's SnowballStemmer("english") + WordNetLemmatizer
+(emma/EngineeredFeatureGenerator.py:29-30,90-104). NLTK is not in this
+container, but NLTK's English Snowball stemmer IS the Porter2 algorithm
+(the published snowballstem.org specification) — so snowball_stem below
+implements that spec in full (R1/R2 regions with the gener/commun/arsen
+prefixes, exceptional forms, steps 0-5, Y-marking), giving NLTK output
+parity by construction; tests/test_golden_parity.py pins a vendored
+golden list covering every exceptional form and each rule family.
+
+porter_stem (the original 1980 algorithm) is retained for callers that
+want it; the feature pipeline uses snowball_stem.
+
+The lemmatizer remains a rule-based stand-in: WordNetLemmatizer is a
+DATABASE lookup (morphy over the WordNet exception lists), which cannot
+be reproduced without shipping WordNet — documented divergence; both
+sides of every pair go through the same lemmatizer so the pair-equality
+features stay internally consistent.
 """
 
 from __future__ import annotations
@@ -145,6 +154,239 @@ def porter_stem(word: str) -> str:
     if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Porter2 / Snowball English (the algorithm NLTK's SnowballStemmer
+# implements) — snowballstem.org published specification.
+# ---------------------------------------------------------------------------
+
+_P2_VOWELS = set("aeiouy")
+_P2_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P2_LI_ENDING = set("cdeghkmnrt")
+
+_P2_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky",
+    "dying": "die", "lying": "lie", "tying": "tie",
+    "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe",
+    "atlas": "atlas", "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+
+# invariant after step 1a
+_P2_EXCEPTIONS2 = {
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed",
+}
+
+
+def _p2_is_vowel(w: str, i: int) -> bool:
+    # 'Y' marks a consonant y (set during preluding)
+    return w[i] in _P2_VOWELS and w[i] != "Y"
+
+
+def _p2_regions(w: str) -> tuple[int, int]:
+    """(R1 start, R2 start). R1 = after the first non-vowel following a
+    vowel; special-cased prefixes gener/commun/arsen set R1 after the
+    prefix (spec: 'define a valid R1 as...')."""
+    n = len(w)
+    r1 = n
+    for pref in ("gener", "commun", "arsen"):
+        if w.startswith(pref):
+            r1 = len(pref)
+            break
+    else:
+        for i in range(1, n):
+            if not _p2_is_vowel(w, i) and _p2_is_vowel(w, i - 1):
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _p2_is_vowel(w, i) and _p2_is_vowel(w, i - 1):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _p2_short_syllable_at(w: str, i: int) -> bool:
+    """Short syllable ending at index i (spec): either (a) vowel at i
+    preceded by and followed by a non-vowel, with the following
+    non-vowel not w/x/Y — tested as position i being that vowel with
+    i-1 cons and i+1 cons — or (b) a vowel at position 0 followed by a
+    non-vowel."""
+    if i == 0:
+        return (
+            len(w) >= 2 and _p2_is_vowel(w, 0) and not _p2_is_vowel(w, 1)
+        )
+    return (
+        0 < i < len(w) - 1
+        and _p2_is_vowel(w, i)
+        and not _p2_is_vowel(w, i + 1)
+        and w[i + 1] not in "wxY"
+        and not _p2_is_vowel(w, i - 1)
+    )
+
+
+def _p2_ends_short_syllable(w: str) -> bool:
+    n = len(w)
+    if n >= 3 and _p2_is_vowel(w, n - 2) and not _p2_is_vowel(w, n - 1) \
+            and w[n - 1] not in "wxY" and not _p2_is_vowel(w, n - 3):
+        return True
+    if n == 2 and _p2_is_vowel(w, 0) and not _p2_is_vowel(w, 1):
+        return True
+    return False
+
+
+def _p2_is_short(w: str, r1: int) -> bool:
+    return r1 >= len(w) and _p2_ends_short_syllable(w)
+
+
+def snowball_stem(word: str) -> str:  # noqa: C901 - the spec is a rulebook
+    """Porter2 (Snowball English) stemmer — NLTK SnowballStemmer parity
+    by construction (same published algorithm). Lowercase input."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    if w.startswith("'"):
+        w = w[1:]
+    if w in _P2_EXCEPTIONS:
+        return _P2_EXCEPTIONS[w]
+    # mark consonant y as Y
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _P2_VOWELS and chars[i - 1] != "Y":
+            chars[i] = "Y"
+    w = "".join(chars)
+
+    # Step 0: longest of ' 's 's'
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-2] if len(w) - 3 > 1 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if any(_p2_is_vowel(w, i) for i in range(len(w) - 2)):
+            w = w[:-1]
+
+    if w in _P2_EXCEPTIONS2:
+        return w
+
+    r1, r2 = _p2_regions(w)
+
+    # Step 1b
+    if w.endswith(("eedly", "eed")):
+        suf = "eedly" if w.endswith("eedly") else "eed"
+        if len(w) - len(suf) >= r1:
+            w = w[: -len(suf)] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(_p2_is_vowel(stem, i) for i in range(len(stem))):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_P2_DOUBLES):
+                        w = w[:-1]
+                    elif _p2_is_short(w, _p2_regions(w)[0]):
+                        w += "e"
+                    r1, r2 = _p2_regions(w)
+                break
+
+    # Step 1c: y/Y → i if preceded by a non-vowel which is not the
+    # first letter of the word
+    if (
+        len(w) > 2
+        and w[-1] in "yY"
+        and not _p2_is_vowel(w, len(w) - 2)
+    ):
+        w = w[:-1] + "i"
+
+    r1, r2 = _p2_regions(w)
+
+    # Step 2 (suffix found in R1) — longest match first
+    step2 = [
+        ("ization", "ize"), ("ational", "ate"), ("ousness", "ous"),
+        ("iveness", "ive"), ("fulness", "ful"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"), ("ogi", None), ("li", None),
+    ]
+    for suf, rep in step2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if len(w) > 3 and w[-4] == "l":
+                        w = w[:-1]  # ogi → og
+                elif suf == "li":
+                    if len(w) > 2 and w[-3] in _P2_LI_ENDING:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    r1, r2 = _p2_regions(w)
+
+    # Step 3 (suffix found in R1)
+    step3 = [
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ative", None),
+        ("ical", "ic"), ("ness", ""), ("ful", ""),
+    ]
+    for suf, rep in step3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= r2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    r1, r2 = _p2_regions(w)
+
+    # Step 4 (suffix found in R2)
+    step4 = [
+        "ement", "ance", "ence", "able", "ible", "ment",
+        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+        "ion", "al", "er", "ic",
+    ]
+    for suf in step4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2:
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+
+    r1, r2 = _p2_regions(w)
+
+    # Step 5
+    if w.endswith("e"):
+        stem = w[:-1]
+        if len(stem) >= r2 or (
+            len(stem) >= r1 and not _p2_ends_short_syllable(stem)
+        ):
+            w = stem
+    elif w.endswith("l") and len(w) - 1 >= r2 and len(w) > 1 and w[-2] == "l":
+        w = w[:-1]
+
+    return w.replace("Y", "y")
 
 
 _LEMMA_RULES = [

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from ontoemma_spark.functions.stem import porter_stem, simple_lemmatize
+from ontoemma_spark.functions.stem import simple_lemmatize, snowball_stem
 from ontoemma_spark.functions.text import acronym, char_ngrams, tokenize
 
 
@@ -38,7 +38,7 @@ from ontoemma_spark.functions.text import acronym, char_ngrams, tokenize
 def _stem_tokens_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for series in it:
         yield series.map(
-            lambda toks: [porter_stem(t) for t in toks] if toks is not None else None
+            lambda toks: [snowball_stem(t) for t in toks] if toks is not None else None
         )
 
 
