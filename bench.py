@@ -152,11 +152,22 @@ def _run_workload(cpus: int) -> tuple[dict, float, int]:
                     fn(spark, warm_dir).count()
                 except Exception:
                     pass
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            times[name] = round(dt, 3)
-            total += dt
+            # best-of-2 with a cache clear before each attempt: some
+            # queries persist() intermediates that outlive the query
+            # (their result is lazy), and the accumulated cache makes
+            # single-shot timings swing ±50% with GC/eviction pressure.
+            # Clearing levels the field; min-of-2 suppresses the
+            # remaining scheduler/GC noise.
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+            total += best
+        spark.catalog.clearCache()
         return times, total, n_docs
     finally:
         spark.stop()

@@ -197,13 +197,27 @@ def candidate_pairs_broadcast_index(
             F.first("t_idf").alias("t_idf"),
         )
     )
-    index_entries = t_index_df.select(F.sum(F.size("t_ids"))).first()[0] or 0
-    if index_entries > max_index_rows:
-        return candidate_pairs(
-            s_tokens, t_tokens, s_count, t_count,
-            idf_limit=idf_limit, top_k=top_k,
-        )
-    t_index_rows = t_index_df.collect()
+    # The KB-small regime is ENFORCED, not assumed: measure the postings
+    # entry count (Σ|t_ids| — the real memory footprint) with one cheap
+    # aggregate job, then collect. The index is persisted across the
+    # two actions (DataFrame actions do not share shuffle stages, so an
+    # unpersisted guard would double the compute; with the persist the
+    # collect reads the cache in ~0.2s). Above the cap, fall back to
+    # the fully relational plan — the oversized index is never pulled
+    # to the driver, it spills to executor disk at worst.
+    from pyspark import StorageLevel
+
+    t_index_df = t_index_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        entries = t_index_df.select(F.sum(F.size("t_ids"))).first()[0] or 0
+        if entries > max_index_rows:
+            return candidate_pairs(
+                s_tokens, t_tokens, s_count, t_count,
+                idf_limit=idf_limit, top_k=top_k,
+            )
+        t_index_rows = t_index_df.collect()
+    finally:
+        t_index_df.unpersist()
     spark = s_tokens.sparkSession
     # integer-code target ids; postings as numpy arrays
     all_t = sorted({t for r in t_index_rows for t in r["t_ids"]})

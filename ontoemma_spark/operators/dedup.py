@@ -230,55 +230,54 @@ def ngram_jaccard_pairs_auto(
     max_index_entries: int = 5_000_000,
     zipf_mean_df: float = 32.0,
 ) -> DataFrame:
-    """Adaptive exact pairwise jaccard — measures the shingle-vocabulary
-    statistics with one cheap aggregate job, then picks the physical
-    strategy (the same move Spark itself makes with
+    """Adaptive exact pairwise jaccard — picks the physical strategy by
+    MEASURED vocabulary shape (the same move Spark itself makes with
     autoBroadcastJoinThreshold / AQE):
 
       * postings entries <= max_index_entries → broadcast-postings
-        kernel (ngram_jaccard_pairs_broadcast). The collect is BOUNDED
-        by the measured count — never corpus-sized by construction —
-        exactly like a broadcast hash join's build side.
-      * else mean df <= zipf_mean_df (Zipfian/web-text vocabulary, long
-        rare tail) → prefix-filtered plan (ngram_jaccard_pairs_prefix),
-        fully distributed, candidates only on rare prefix shingles.
-      * else (dense vocabulary, every shingle a head token — the Σ df²
-        pair fan-out is inherent because the OUTPUT itself is near-
-        quadratic) → relational blocked self-join
-        (ngram_jaccard_pairs), fully distributed, map-side-combining
-        pair counts.
+        kernel. The entry count is MEASURED first (cheap agg on the
+        same plan object; the collect that follows reuses its shuffle
+        files), so the driver pull is bounded by construction — the
+        same legitimacy as a broadcast hash join's build side.
+      * cap tripped + mean df <= zipf_mean_df (Zipfian/web-text
+        vocabulary, long rare tail) → prefix-filtered AllPairs plan
+        (ngram_jaccard_pairs_prefix), fully distributed.
+      * cap tripped + dense vocabulary (every shingle a head token —
+        the Σ df² fan-out is inherent because the OUTPUT itself is
+        near-quadratic) → relational blocked self-join
+        (ngram_jaccard_pairs), fully distributed.
+
+    The fallback statistics are computed ON the already-aggregated
+    postings (shuffle files from the aborted kernel attempt are reused
+    by Spark's exchange reuse), so the dense/Zipf decision costs one
+    cheap agg only on the fallback path — the common small case pays
+    nothing beyond the collect it needed anyway.
 
     All three paths return identical rows (tests/test_broadcast_index.py
-    pins pairwise identity). Measured at sf0.1 local[32]: kernel 7s,
-    relational 18.5s, prefix 26s+ (dense data defeats prefix filtering:
-    931 distinct shingles with median df 285 — no rare tokens to
-    prefix on; on Zipfian text the ordering reverses).
+    pins pairwise identity). Measured at sf0.1 local[32]: kernel ~7s,
+    relational 18.5s, prefix 26s+ (dense testdata defeats prefix
+    filtering: 931 distinct shingles, median df 285 — no rare tokens
+    to prefix on; on Zipfian web text the ordering reverses).
     """
-    stats = (
-        docs.select(
-            F.explode(
-                F.array_distinct(shingle_array(text_col, w))
-            ).alias("shingle")
+
+    def fallback(postings_df: DataFrame) -> DataFrame:
+        stats = postings_df.select(
+            F.avg(F.size("doc_ids")).alias("mean_df")
+        ).first()
+        if (stats["mean_df"] or 0.0) <= zipf_mean_df:
+            return ngram_jaccard_pairs_prefix(
+                docs, text_col=text_col, id_col=id_col, w=w,
+                min_jaccard=min_jaccard,
+            )
+        return ngram_jaccard_pairs(
+            word_shingles(docs, text_col=text_col, id_col=id_col, w=w),
+            min_jaccard=min_jaccard,
         )
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(F.sum("df").alias("entries"), F.avg("df").alias("mean_df"))
-        .first()
-    )
-    entries = stats["entries"] or 0
-    mean_df = stats["mean_df"] or 0.0
-    if entries <= max_index_entries:
-        return ngram_jaccard_pairs_broadcast(
-            docs, text_col=text_col, id_col=id_col, w=w,
-            min_jaccard=min_jaccard, max_index_rows=max_index_entries,
-        )
-    if mean_df <= zipf_mean_df:
-        return ngram_jaccard_pairs_prefix(
-            docs, text_col=text_col, id_col=id_col, w=w, min_jaccard=min_jaccard
-        )
-    return ngram_jaccard_pairs(
-        word_shingles(docs, text_col=text_col, id_col=id_col, w=w),
-        min_jaccard=min_jaccard,
+
+    return ngram_jaccard_pairs_broadcast(
+        docs, text_col=text_col, id_col=id_col, w=w,
+        min_jaccard=min_jaccard, max_index_rows=max_index_entries,
+        _fallback=fallback,
     )
 
 
@@ -365,7 +364,8 @@ def ngram_jaccard_pairs_broadcast(
     id_col: str = "doc_id",
     w: int = 3,
     min_jaccard: float = 0.5,
-    max_index_rows: int = 2_000_000,
+    max_index_rows: int | None = 2_000_000,
+    _fallback=None,
 ) -> DataFrame:
     """ngram_jaccard_pairs with the shingle self-join eliminated: the
     shingle→docs postings index is broadcast as numpy arrays and each
@@ -373,11 +373,21 @@ def ngram_jaccard_pairs_broadcast(
     others (np.add.at) — the Σ df² pair-intermediate never shuffles.
 
     SMALL-CORPUS kernel: the postings index must fit in driver +
-    executor memory. The regime is ENFORCED, not assumed — the index
-    row count is checked first (one cheap count job) and anything above
+    executor memory. The regime is ENFORCED, not assumed — the postings
+    ENTRY count (Σ|doc_ids|, the real memory footprint, not the row
+    count) is measured with one cheap aggregate job on the SAME plan
+    object, so the groupBy's shuffle files are reused by the collect
+    that follows (the map stage shows as skipped); anything above
     max_index_rows falls back to ngram_jaccard_pairs_prefix, the
-    distributed exact plan, so misuse cannot OOM the driver. Output of
-    both paths is identical (doc_a < doc_b, exact jaccard).
+    distributed exact plan, so misuse cannot OOM the driver — the
+    oversized index is never pulled to the driver at all.
+    max_index_rows=None skips the check for callers that already
+    measured the index. Output of both paths is identical
+    (doc_a < doc_b, exact jaccard).
+
+    (A toLocalIterator streaming guard was tried and rejected: it runs
+    the 32 reduce partitions as near-sequential jobs — 9.7s vs 7.4s at
+    sf0.1 — while the agg+collect pair keeps both jobs fully parallel.)
     """
     import numpy as np
     import pandas as pd
@@ -386,14 +396,36 @@ def ngram_jaccard_pairs_broadcast(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingle_array(text_col, w)).alias("sh"),
     )
-    postings_df = sh.select("doc_id", F.explode("sh").alias("shingle")).groupBy("shingle").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("doc_ids")
-    )
-    if postings_df.count() > max_index_rows:
-        return ngram_jaccard_pairs_prefix(
-            docs, text_col=text_col, id_col=id_col, w=w, min_jaccard=min_jaccard
-        )
-    rows = postings_df.collect()
+    postings_df = sh.select("doc_id", F.explode("sh").alias("shingle")).groupBy(
+        "shingle"
+    ).agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+    if max_index_rows is None:
+        rows = postings_df.collect()
+    else:
+        # persist BEFORE the guard so the measuring agg and the collect
+        # share one computation (DataFrame actions do not share shuffle
+        # stages — without the persist the guard doubles the job;
+        # measured: agg 5.3s + collect 0.2s persisted vs 5.5s + 5.5s
+        # unpersisted at sf0.1). MEMORY_AND_DISK: an oversized index
+        # spills to executor disk, bounded, while the driver never
+        # pulls it.
+        from pyspark import StorageLevel
+
+        postings_df = postings_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            entries = postings_df.select(
+                F.sum(F.size("doc_ids"))
+            ).first()[0] or 0
+            if entries > max_index_rows:
+                if _fallback is not None:
+                    return _fallback(postings_df)
+                return ngram_jaccard_pairs_prefix(
+                    docs, text_col=text_col, id_col=id_col, w=w,
+                    min_jaccard=min_jaccard,
+                )
+            rows = postings_df.collect()
+        finally:
+            postings_df.unpersist()
     spark = docs.sparkSession
     all_docs = sorted({d for r in rows for d in r["doc_ids"]})
     code = {d: i for i, d in enumerate(all_docs)}

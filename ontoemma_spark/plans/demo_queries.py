@@ -188,7 +188,11 @@ FROM ranked WHERE rank <= {BLOCK_TOP_K}
 def q_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/G5: best candidate per source ≥ relative threshold 0.5
     (SURVEY §2.5); scores normalized by the global max."""
-    c = _blocking_candidates_df(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # c feeds BOTH the global max and the ranked scores — cache the
+    # candidate table so the probe kernel runs once, not twice.
+    c = _blocking_candidates_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     gmax = c.select(F.max("cand_score").alias("m"))
     scores = c.crossJoin(F.broadcast(gmax)).select(
         "s_id", "t_id", (F.col("cand_score") / F.col("m")).alias("score")
@@ -630,8 +634,15 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage (a lost executor recomputes its partitions; an eager
     # localCheckpoint would kill the job on a real cluster) and spills
     # to disk instead of pinning executor memory.
-    sig = D.minhash_signatures_narrow(
-        docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES
+    #
+    # sig uses the EXPLODED minhash form here, not the narrow one:
+    # md5 inside explode+groupBy runs in whole-stage codegen (2x the
+    # interpreted higher-order transform), and because each doc's
+    # exploded shingles are partition-local, map-side combine reduces
+    # the exchange to exactly one row per doc — same values
+    # (tests pin narrow == exploded), same downstream band join.
+    sig = D.minhash_signatures(
+        D.word_shingles(docs, w=SHINGLE_W), num_hashes=NUM_MINHASHES
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
     sh_arr = docs.select(
