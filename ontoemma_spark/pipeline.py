@@ -5,9 +5,9 @@
   canonicalize match graph → canonical ids (hash-min CC)   [iterative]
   materialize node/edge tables bucketed by entity hash     [write]
 
-Checkpointing: each stage writes parquet (Iceberg snapshot stand-in — the
-sandbox has no Iceberg catalog; the writer API is isolated here so
-swapping `.format("iceberg")` in is a one-liner) plus a manifest entry
+Checkpointing: each stage writes through the tableio seam
+(parquet / bucketed_table / iceberg, chosen per run via the
+table_format argument or $SPARK_GRAFT_TABLE_FORMAT) plus a manifest entry
 `_manifest.json` with row counters (per-stage lineage/metrics). A rerun
 with the same out_dir resumes after the last completed stage — the
 done-file pattern the reference uses in
@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ontoemma_spark import config
+from ontoemma_spark import config, tableio
 from ontoemma_spark.align import align
 from ontoemma_spark.extract.html_text import extract_text_col
 from ontoemma_spark.extract.triples import extract_triples
@@ -53,36 +53,22 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def _checkpoint(df: DataFrame, out_dir: str, stage: str, manifest: dict, metrics: dict,
-                bucket_col: str | None = None, n_buckets: int = 64) -> DataFrame:
-    path = os.path.join(out_dir, stage)
-    writer = df
-    if bucket_col is not None:
-        # entity-hash bucket partitioning (north rule): co-locates each
-        # entity's rows; at scale this becomes Iceberg
-        # writeTo(...).partitionedBy(bucket(n, col)).
-        writer = df.withColumn("bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)))
-        writer.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    else:
-        writer.write.mode("overwrite").parquet(path)
-    manifest["stages"][stage] = {
-        "path": path,
-        "metrics": metrics,
-        "done": True,
-        # schema pinned in the manifest: an empty stage output writes no
-        # part files, so a RESUMING run could not infer it either.
-        "schema": writer.schema.json(),
-    }
+                bucket_col: str | None = None, n_buckets: int = 64,
+                fmt: str | None = None) -> DataFrame:
+    # the writer seam: parquet / bucketed_table / iceberg is tableio's
+    # decision (explicit fmt > $SPARK_GRAFT_TABLE_FORMAT > parquet) —
+    # the pipeline never touches a writer API directly.
+    entry = tableio.write_stage(
+        df, out_dir, stage, fmt=fmt, bucket_col=bucket_col, n_buckets=n_buckets
+    )
+    entry["metrics"] = metrics
+    manifest["stages"][stage] = entry
     _write_manifest(out_dir, manifest)
-    return df.sparkSession.read.schema(writer.schema).parquet(path)
+    return tableio.read_stage(df.sparkSession, entry)
 
 
 def _read_stage(spark: SparkSession, stage_entry: dict) -> DataFrame:
-    from pyspark.sql.types import StructType
-
-    reader = spark.read
-    if "schema" in stage_entry:
-        reader = reader.schema(StructType.fromJson(json.loads(stage_entry["schema"])))
-    return reader.parquet(stage_entry["path"])
+    return tableio.read_stage(spark, stage_entry)
 
 
 def run_pipeline(
@@ -93,6 +79,7 @@ def run_pipeline(
     model: LRModel | None = None,
     threshold: float = config.SIM_SCORE_THRESHOLD,
     incremental: bool = False,
+    table_format: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns the manifest.
 
@@ -116,9 +103,7 @@ def run_pipeline(
             with_text = new_pages.withColumn(
                 "text", F.coalesce(F.col("text"), extract_text_col("html"))
             )
-            extract_triples(with_text).write.mode("append").parquet(
-                done["extract"]["path"]
-            )
+            tableio.append_stage(extract_triples(with_text), done["extract"])
             new_pages.select("url").write.mode("append").parquet(urls_path)
             # downstream stages are stale → recompute over the union
             for stage in ["link", "canonicalize", "materialize"]:
@@ -142,6 +127,7 @@ def run_pipeline(
         triples = _checkpoint(
             raw_triples, out_dir, "extract", manifest,
             metrics={},  # filled after action below
+            fmt=table_format,
         )
         # processed-url ledger for incremental re-runs
         pages.select("url").write.mode("overwrite").parquet(
@@ -173,7 +159,8 @@ def run_pipeline(
             )
         )
         result = align(mentions, kb_entities, model=model, threshold=threshold)
-        links = _checkpoint(result.alignment, out_dir, "link", manifest, metrics={})
+        links = _checkpoint(result.alignment, out_dir, "link", manifest, metrics={},
+                            fmt=table_format)
         manifest["stages"]["link"]["metrics"] = {
             "mentions": mentions.count(), "links": links.count()
         }
@@ -184,7 +171,8 @@ def run_pipeline(
         canon = _read_stage(spark, done["canonicalize"])
     else:
         cc = connected_components(links.select("s_id", "t_id"), src="s_id", dst="t_id")
-        canon = _checkpoint(cc, out_dir, "canonicalize", manifest, metrics={})
+        canon = _checkpoint(cc, out_dir, "canonicalize", manifest, metrics={},
+                            fmt=table_format)
         manifest["stages"]["canonicalize"]["metrics"] = {
             "nodes": canon.count(),
             "components": canon.select("component").distinct().count(),
@@ -224,13 +212,16 @@ def run_pipeline(
             )
         )
         materialized = _checkpoint(kg_edges, out_dir, "materialize", manifest, metrics={},
-                                   bucket_col="subject_id")
+                                   bucket_col="subject_id", fmt=table_format)
         # per-partition lineage: row count per entity-hash bucket (the
         # north rule's per-partition counters; on Iceberg these live in
-        # snapshot manifests for free)
+        # snapshot manifests for free). Derived from subject_id so it
+        # works for every table format (the parquet layout also carries
+        # it as a physical partition column).
+        bucket_expr = F.pmod(F.xxhash64(F.col("subject_id")), F.lit(64)).alias("bucket")
         bucket_counts = {
             str(r["bucket"]): r["count"]
-            for r in materialized.groupBy("bucket").count().collect()
+            for r in materialized.groupBy(bucket_expr).count().collect()
         }
         manifest["stages"]["materialize"]["metrics"] = {
             "nodes": nodes.count(), "edges": kg_edges.count()

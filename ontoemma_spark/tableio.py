@@ -1,0 +1,141 @@
+"""Stage-table writer seam: one place where checkpoint format is chosen.
+
+The pipeline checkpoints every stage (extract/link/canonicalize/
+materialize — the done-file resume pattern of the reference's
+extract_training_data_from_umls.py:82,398-400,569-594). WHERE a stage
+lands is a physical-design decision that must not leak into the
+pipeline logic, so it is isolated here behind a format flag:
+
+  parquet         plain parquet directory, optionally partitioned by an
+                  entity-hash bucket column (sandbox default — what the
+                  driver measures).
+  bucketed_table  bucketBy(n, key).sortBy(key).saveAsTable: both KG
+                  tables land pre-bucketed, so every subsequent join on
+                  the key is co-located — NO Exchange in the plan
+                  (asserted by tests/test_tableio.py). This is the
+                  10^12-row physical design for the node/edge tables.
+  iceberg         df.writeTo(ident).partitionedBy(bucket(n, key)) — the
+                  same layout expressed through the DataSourceV2 API,
+                  giving snapshot isolation + incremental reads between
+                  snapshots (what incremental mode stands in for). The
+                  sandbox has no Iceberg catalog jars, so this path
+                  raises a clear error instead of pretending; the call
+                  shape is real and unit-covered up to the catalog
+                  check.
+
+Default resolution: explicit argument > $SPARK_GRAFT_TABLE_FORMAT >
+"parquet". Every entry records its format in the manifest so a resumed
+run reads each stage back however it was written.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMATS = ("parquet", "bucketed_table", "iceberg")
+
+
+def resolve_format(fmt: str | None) -> str:
+    fmt = fmt or os.environ.get("SPARK_GRAFT_TABLE_FORMAT") or "parquet"
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown table format {fmt!r}; expected one of {FORMATS}")
+    return fmt
+
+
+def _table_ident(out_dir: str, stage: str) -> str:
+    # deterministic per (out_dir, stage) so resume finds the same table
+    slug = re.sub(r"[^A-Za-z0-9_]", "_", out_dir.strip("/"))
+    return f"kg_{slug}_{stage}"
+
+
+def write_stage(
+    df: DataFrame,
+    out_dir: str,
+    stage: str,
+    fmt: str | None = None,
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
+) -> dict:
+    """Write one stage table; returns the manifest entry used to read it
+    back ({format, path|table, schema, done})."""
+    fmt = resolve_format(fmt)
+    path = os.path.join(out_dir, stage)
+    entry: dict = {"format": fmt, "done": True}
+
+    if fmt == "parquet":
+        if bucket_col is not None:
+            # entity-hash bucket partitioning (north rule): co-locates
+            # each entity's rows; partition pruning serves point lookups.
+            out = df.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+            )
+            out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        else:
+            out = df
+            out.write.mode("overwrite").parquet(path)
+        entry["path"] = path
+        # schema pinned: an empty stage output writes no part files, so
+        # a RESUMING run could not infer it otherwise.
+        entry["schema"] = out.schema.json()
+        return entry
+
+    if fmt == "bucketed_table":
+        ident = _table_ident(out_dir, stage)
+        key = bucket_col or df.columns[0]
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(ident)
+        )
+        entry.update(table=ident, bucket_col=key, schema=df.schema.json())
+        return entry
+
+    # fmt == "iceberg": the V2 writer call, gated on a configured catalog.
+    spark = df.sparkSession
+    catalog = spark.conf.get("spark.sql.catalog.kg", None)
+    if not catalog:
+        raise RuntimeError(
+            "table format 'iceberg' needs an Iceberg catalog on the session "
+            "(spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog + "
+            "iceberg-spark-runtime on the classpath); neither is available "
+            "in this sandbox. Use format='bucketed_table' for the same "
+            "co-located-join layout through the builtin catalog."
+        )
+    ident = f"kg.{_table_ident(out_dir, stage)}"
+    writer = df.writeTo(ident).using("iceberg")
+    if bucket_col is not None:
+        writer = writer.partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
+    writer.createOrReplace()
+    entry.update(table=ident, bucket_col=bucket_col, schema=df.schema.json())
+    return entry
+
+
+def append_stage(df: DataFrame, entry: dict) -> None:
+    """Append rows to an existing stage table (incremental mode's delta
+    write; on Iceberg this commits a new snapshot)."""
+    fmt = entry.get("format", "parquet")
+    if fmt == "parquet":
+        df.write.mode("append").parquet(entry["path"])
+    elif fmt == "bucketed_table":
+        df.write.mode("append").insertInto(entry["table"])
+    else:  # iceberg
+        df.writeTo(entry["table"]).append()
+
+
+def read_stage(spark: SparkSession, entry: dict) -> DataFrame:
+    """Read a stage table back exactly as recorded in its manifest entry."""
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    fmt = entry.get("format", "parquet")
+    if fmt in ("bucketed_table", "iceberg"):
+        return spark.table(entry["table"])
+    reader = spark.read
+    if "schema" in entry:
+        reader = reader.schema(StructType.fromJson(_json.loads(entry["schema"])))
+    return reader.parquet(entry["path"])

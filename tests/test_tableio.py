@@ -1,0 +1,89 @@
+"""Writer seam (tableio): the pipeline's checkpoint format is a physical
+choice — parquet vs bucketed tables vs Iceberg — and switching it must
+not change the KG. The bucketed_table format must deliver the layout's
+whole point: joins on the bucket key with NO Exchange in the plan
+(storage-partitioned join analog through the builtin catalog)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontoemma_spark import datagen, tableio
+from ontoemma_spark.pipeline import run_pipeline
+
+
+def _edge_set(df):
+    return {
+        (r["subject_id"], r["relation_type"], r["object_id"])
+        for r in df.select("subject_id", "relation_type", "object_id").collect()
+    }
+
+
+def test_bucketed_table_format_same_kg_and_colocated_join(spark):
+    pages = datagen.synthetic_pages(spark, n_pages=60)
+    kb, _ = datagen.synthetic_kb(spark, "KB", n_entities=40)
+
+    out_pq = tempfile.mkdtemp(prefix="tio_pq_")
+    out_bt = tempfile.mkdtemp(prefix="tio_bt_")
+    man_pq = run_pipeline(spark, pages, kb, out_dir=out_pq)
+    man_bt = run_pipeline(spark, pages, kb, out_dir=out_bt,
+                          table_format="bucketed_table")
+    try:
+        # every stage entry records its format + identical row metrics
+        for stage, entry in man_bt["stages"].items():
+            assert entry["format"] == "bucketed_table"
+            assert entry["metrics"] == man_pq["stages"][stage]["metrics"]
+
+        edges_bt = tableio.read_stage(spark, man_bt["stages"]["materialize"])
+        edges_pq = tableio.read_stage(spark, man_pq["stages"]["materialize"])
+        assert _edge_set(edges_bt) == _edge_set(edges_pq)
+
+        # co-located self-join on the bucket key: the bucketed scan
+        # satisfies the join's required distribution → no Exchange.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            e = spark.table(man_bt["stages"]["materialize"]["table"])
+            joined = e.alias("a").join(
+                e.alias("b"), "subject_id"
+            ).groupBy("subject_id").count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan.split("SortMergeJoin")[1], plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for stage in man_bt["stages"].values():
+            if "table" in stage:
+                spark.sql(f"DROP TABLE IF EXISTS {stage['table']}")
+
+
+def test_bucketed_table_resume_reads_tables_back(spark):
+    pages = datagen.synthetic_pages(spark, n_pages=40)
+    kb, _ = datagen.synthetic_kb(spark, "KB", n_entities=30)
+    out = tempfile.mkdtemp(prefix="tio_res_")
+    man1 = run_pipeline(spark, pages, kb, out_dir=out,
+                        table_format="bucketed_table")
+    try:
+        # second run resumes: all stages read back from tables, nothing
+        # recomputed, manifest identical
+        man2 = run_pipeline(spark, pages, kb, out_dir=out,
+                            table_format="bucketed_table")
+        assert man1 == man2
+    finally:
+        for stage in man1["stages"].values():
+            if "table" in stage:
+                spark.sql(f"DROP TABLE IF EXISTS {stage['table']}")
+
+
+def test_iceberg_raises_clear_error_without_catalog(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("subject_id"))
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        tableio.write_stage(df, "/tmp/tio_ice", "materialize",
+                            fmt="iceberg", bucket_col="subject_id")
+
+
+def test_unknown_format_rejected():
+    with pytest.raises(ValueError, match="unknown table format"):
+        tableio.resolve_format("delta")
