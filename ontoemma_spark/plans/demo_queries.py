@@ -1615,6 +1615,52 @@ LEFT JOIN mention_map om ON om.w = tr.obj
 """
 
 
+# 37. sessionization — gap-timeout sessions over the events table
+SESSION_GAP_S = 43_200  # 12h: splits sf0.01's 10k events into ~3.3k sessions
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState streaming sessionizer
+    (streaming/sessions.py): two-window sessionization, one shuffle on
+    user_id. tests/test_sessionization.py pins streaming == batch ==
+    python twin on controlled input; this query gives the family its
+    DuckDB-oracle row. Timestamps emitted as epoch microseconds
+    (bigint) so the value-hash compare is engine-neutral."""
+    from ontoemma_spark.streaming.sessions import sessionize_batch
+
+    events = _t(spark, sf_dir, "events")
+    s = sessionize_batch(events, gap_seconds=SESSION_GAP_S)
+    return s.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZATION = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1656,6 +1702,7 @@ QUERIES: dict[str, callable] = {
     "alignment_roundtrip": q_alignment_roundtrip,
     "alignment_rdf_roundtrip": q_alignment_rdf_roundtrip,
     "neighborhood_sim": q_neighborhood_sim,
+    "sessionization": q_sessionization,
 }
 
 ORACLES: dict[str, str] = {
@@ -1695,4 +1742,5 @@ ORACLES: dict[str, str] = {
     "alignment_roundtrip": SQL_ALIGNMENT_ROUNDTRIP,
     "alignment_rdf_roundtrip": SQL_ALIGNMENT_RDF_ROUNDTRIP,
     "neighborhood_sim": SQL_NEIGHBORHOOD_SIM,
+    "sessionization": SQL_SESSIONIZATION,
 }

@@ -18,6 +18,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = (
@@ -98,6 +99,60 @@ def sessionize_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch twin of sessionize_stream over a static events table:
+    classic two-window sessionization (new-session flag via lag, session
+    id via running sum, then groupBy) — one shuffle on user_id total,
+    since all three steps share the same partitioning and Spark plans a
+    single Exchange. Matches sessionize_py(include_open=True): every
+    session, including each user's final one (the streaming operator
+    holds that one in state).
+
+    Scale: partition key is user_id — the natural key at 10^12 events;
+    power-user skew is handled by AQE skew-join splitting on the window
+    exchange, or by switching to sessionize_stream, which processes
+    incrementally and never materializes a user's full history.
+    Gap comparison is in microseconds (strict >), bit-identical to the
+    streaming operator and the SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # parquet timestamps load as TIMESTAMP_NTZ; unix_micros needs TZ —
+    # session tz is pinned UTC, so the cast is deterministic and equals
+    # DuckDB's epoch_us on the same value.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    # gap in µs computed in Python: a 32-bit literal product overflows
+    # under ANSI mode for gaps ≥ ~36 min
+    gap_us = int(gap_seconds) * 1_000_000
+    new_sess = F.when(
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)), 1
+    ).otherwise(0)
+    numbered = (
+        events.select(user_col, ts_col)
+        .withColumn("_new", new_sess)
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        numbered.groupBy(user_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sid")
     )
 
 

@@ -64,3 +64,25 @@ def test_sessionize_py_twin():
     all_sessions = sessionize_py(rows, 600, include_open=True)
     assert (1, mins(30), mins(30), 1) in all_sessions
     assert (2, mins(0), mins(0), 1) in all_sessions
+
+
+def test_sessionize_batch_matches_python_twin(spark):
+    from ontoemma_spark.streaming.sessions import sessionize_batch
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts")
+    )
+    rows = [(r["user_id"], pd.Timestamp(r["ts"])) for r in events.collect()]
+    # include_open=True: the batch form emits every session, including
+    # each user's final one (the streaming operator keeps that in state)
+    expected = sorted(
+        (uid, start, end, n)
+        for uid, start, end, n in sessionize_py(rows, GAP, include_open=True)
+    )
+    got = sorted(
+        (r["user_id"], pd.Timestamp(r["session_start"]),
+         pd.Timestamp(r["session_end"]), r["n_events"])
+        for r in sessionize_batch(events, gap_seconds=GAP).collect()
+    )
+    assert got == expected
