@@ -116,9 +116,16 @@ def _run_scaling(cpus: int, replication: int = 400) -> tuple[float, int]:
         # per-task scheduling overhead is amortized (≥60s at high
         # parallelism), hence replication=200 (~1M docs at sf0.1).
         _scaling_job(spark, SF_DIR, replication=10, extract_only=True)
-        t0 = time.perf_counter()
-        n_docs = _scaling_job(spark, SF_DIR, replication, extract_only=True)
-        return time.perf_counter() - t0, n_docs
+        # best-of-2: single-shot times at high parallelism occasionally
+        # double (GC pause / previous JVM teardown overlap); min-of-2
+        # recovers the steady-state number the efficiency ratio needs.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_docs = _scaling_job(spark, SF_DIR, replication, extract_only=True)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n_docs
     finally:
         spark.stop()
 
