@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode/feature-extraction kernels are STUBBED (the container has no
-image/audio libraries) behind clearly-marked NotImplementedError or a
-deterministic fake — but the Spark-side plumbing is real and tested:
-schema, Arrow batch shape, mapInPandas signature, partitioning. Swapping
-a real decoder (PIL/torchaudio) into `_decode_stub` is the only change
+Feature extraction does REAL decoding for every format that is
+decodable without external codec libraries (media/codecs.py: BMP, PNG,
+PPM images — aHash-style 8x8 block-mean grid features; PCM WAV audio —
+rms/zcr/band-energy features). Entropy-coded formats (JPEG/MP3/MP4) and
+video containers genuinely need a codec library the container lacks;
+those fall back to a deterministic sha256 pseudo-feature and are
+flagged decoded=false, so "ran" vs "really decoded" is visible in the
+output, and swapping a real codec into `_decode_any` is the only change
 needed for production.
 """
 
@@ -18,35 +21,58 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ontoemma_spark.media import codecs
+
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, mime string, width int, height int"
 )
 
-FEATURE_SCHEMA = "media_id string, kind string, n_bytes bigint, sha256 string, feature array<float>"
+FEATURE_SCHEMA = (
+    "media_id string, kind string, n_bytes bigint, sha256 string, "
+    "decoded boolean, format string, width int, height int, feature array<float>"
+)
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/cv2/torchaudio in this container
+# formats with a pure stdlib+numpy decoder in media/codecs.py
+DECODABLE = {"bmp", "png", "ppm", "wav"}
 
 
-def _decode_stub(payload: bytes, kind: str, feat_dim: int = 8) -> list[float]:
-    """Deterministic fake feature vector: bytes of sha256 scaled to
-    [0, 1). A real deployment replaces this with the actual decoder +
-    model; everything around it (batching, schema, partitioning) is
-    production-shaped."""
-    if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("plug a real image/audio decoder here")
+def _sha_fallback(payload: bytes, feat_dim: int) -> list[float]:
+    """Deterministic pseudo-feature for formats that need a real codec
+    library (JPEG/MP3/…): sha256 bytes scaled to [0, 1)."""
     digest = hashlib.sha256(payload or b"").digest()
     return [digest[i] / 256.0 for i in range(feat_dim)]
+
+
+def _decode_any(payload: bytes, feat_dim: int) -> tuple[bool, str, int, int, list[float]]:
+    """(decoded, format, width, height, feature). Feature length is
+    per-modality: 64 (8x8 aHash grid) for decoded images, 8 (rms + zcr
+    + 6 band energies) for decoded audio, feat_dim for the sha fallback
+    — the schema is array<float>, consumers key on `format`."""
+    fmt = codecs.sniff(payload or b"")
+    try:
+        if fmt in ("bmp", "png", "ppm"):
+            arr = codecs.decode_image(payload)
+            return True, fmt, arr.shape[1], arr.shape[0], codecs.image_features(arr, grid=8)
+        if fmt == "wav":
+            x, rate = codecs.decode_wav(payload)
+            return True, fmt, len(x), 1, codecs.audio_features(x, rate, n_bands=6)
+    except Exception:
+        fmt = f"corrupt_{fmt}"
+    return False, fmt, 0, 0, _sha_fallback(payload, feat_dim)
 
 
 def extract_media_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: Arrow-batched,
     one Python interpreter visit per batch (not per row); at scale the
     input should be repartitioned so batches are size-uniform (binary
-    payload skew), e.g. .repartition(n, "media_id")."""
+    payload skew), e.g. .repartition(n, "media_id"). Decodable formats
+    get real features (decoded=true); codec-needing formats get the
+    deterministic sha fallback (decoded=false)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            decoded = payloads.map(lambda b: _decode_any(bytes(b or b""), feat_dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -55,7 +81,11 @@ def extract_media_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda b: _decode_stub(b, "", feat_dim)),
+                    "decoded": decoded.map(lambda t: t[0]),
+                    "format": decoded.map(lambda t: t[1]),
+                    "width": decoded.map(lambda t: t[2]),
+                    "height": decoded.map(lambda t: t[3]),
+                    "feature": decoded.map(lambda t: t[4]),
                 }
             )
 
@@ -74,18 +104,47 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.length(payload).cast("bigint").alias("n_bytes"),
         F.when(F.hex(F.substring(payload, 1, 2)) == "FFD8", "image/jpeg")
         .when(F.hex(F.substring(payload, 1, 4)) == "89504E47", "image/png")
+        .when(F.substring(payload, 1, 2) == F.lit(b"BM"), "image/bmp")
+        .when(F.substring(payload, 1, 2) == F.lit(b"P6"), "image/x-portable-pixmap")
+        .when(
+            (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(payload, 9, 4) == F.lit(b"WAVE")),
+            "audio/wav",
+        )
         .otherwise("application/octet-stream")
         .alias("sniffed_mime"),
     )
 
 
 def synthetic_media(spark, n: int = 50) -> DataFrame:
-    """Deterministic fake media table for tests."""
+    """Deterministic media table for tests, cycling through REAL
+    payloads (BMP / PNG / WAV — bit-exact round-trippable through
+    media/codecs.py) plus a jpeg-magic blob exercising the sha
+    fallback path."""
+    import numpy as np
+
     rows = []
     for i in range(n):
-        kind = ["image", "audio", "video"][i % 3]
-        payload = (b"\xff\xd8" if kind == "image" else b"RIFF") + bytes(
-            [(i * 7 + j) % 256 for j in range(16 + i % 5)]
-        )
+        variant = i % 4
+        if variant == 0:  # fallback: jpeg magic, no pure-python decoder
+            kind, payload = "image", b"\xff\xd8" + bytes(
+                [(i * 7 + j) % 256 for j in range(16 + i % 5)]
+            )
+        elif variant == 1:  # real BMP
+            h, w = 5 + i % 3, 7 + i % 4
+            arr = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3)) % 256).astype(
+                np.uint8
+            ).reshape(h, w, 3)
+            kind, payload = "image", codecs.encode_bmp(arr)
+        elif variant == 2:  # real PNG
+            h, w = 4 + i % 4, 6 + i % 3
+            arr = ((np.arange(h * w * 3, dtype=np.int64) * (i + 5)) % 256).astype(
+                np.uint8
+            ).reshape(h, w, 3)
+            kind, payload = "image", codecs.encode_png(arr)
+        else:  # real WAV
+            t = np.arange(400 + 10 * (i % 7)) / 16_000.0
+            x = 0.5 * np.sin(2 * np.pi * (200 + 13 * i) * t)
+            kind, payload = "audio", codecs.encode_wav(x, 16_000)
         rows.append((f"m{i:04d}", kind, payload, "application/octet-stream", None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

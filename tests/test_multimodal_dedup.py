@@ -22,23 +22,118 @@ from ontoemma_spark.operators.multimodal import (
 
 
 def test_media_feature_extraction_arrow_batched(spark):
+    from ontoemma_spark.media import codecs
+
     media = synthetic_media(spark, n=30)
     feats = extract_media_features(media, feat_dim=8).collect()
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
-    # deterministic stub: sha256-derived features, value check vs python
-    m0 = media.filter(F.col("media_id") == "m0000").collect()[0]
-    d = hashlib.sha256(bytes(m0["payload"])).digest()
-    assert by_id["m0000"]["sha256"] == hashlib.sha256(bytes(m0["payload"])).hexdigest()
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    # m0000: jpeg magic → sha fallback, flagged not-decoded
+    d = hashlib.sha256(payloads["m0000"]).digest()
+    assert by_id["m0000"]["decoded"] is False
+    assert by_id["m0000"]["format"] == "jpeg"
     assert by_id["m0000"]["feature"] == [d[i] / 256.0 for i in range(8)]
-    assert by_id["m0000"]["n_bytes"] == len(bytes(m0["payload"]))
+    assert by_id["m0000"]["sha256"] == hashlib.sha256(payloads["m0000"]).hexdigest()
+    # m0001: real BMP → REAL decode, 8x8 aHash grid, exact python twin
+    arr = codecs.decode_bmp(payloads["m0001"])
+    assert by_id["m0001"]["decoded"] is True
+    assert by_id["m0001"]["format"] == "bmp"
+    assert (by_id["m0001"]["width"], by_id["m0001"]["height"]) == (
+        arr.shape[1], arr.shape[0])
+    import numpy as np
+    np.testing.assert_allclose(
+        by_id["m0001"]["feature"], codecs.image_features(arr, grid=8), rtol=1e-6)
+    # m0002: real PNG decode; m0003: real WAV decode
+    assert by_id["m0002"]["decoded"] is True and by_id["m0002"]["format"] == "png"
+    assert by_id["m0003"]["decoded"] is True and by_id["m0003"]["format"] == "wav"
+    x, rate = codecs.decode_wav(payloads["m0003"])
+    np.testing.assert_allclose(
+        by_id["m0003"]["feature"], codecs.audio_features(x, rate, n_bands=6),
+        rtol=1e-5)
 
 
 def test_media_metadata_native_sniffing(spark):
     media = synthetic_media(spark, n=9)
     rows = {r["media_id"]: r for r in media_metadata(media).collect()}
     assert rows["m0000"]["sniffed_mime"] == "image/jpeg"  # \xff\xd8 magic
-    assert rows["m0001"]["sniffed_mime"] == "application/octet-stream"
+    assert rows["m0001"]["sniffed_mime"] == "image/bmp"
+    assert rows["m0002"]["sniffed_mime"] == "image/png"
+    assert rows["m0003"]["sniffed_mime"] == "audio/wav"
+
+
+def test_codecs_roundtrip_exact():
+    """Every pure-python codec must round-trip bit-exactly."""
+    import numpy as np
+
+    from ontoemma_spark.media import codecs
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+    gray = rng.randint(0, 256, size=(5, 8), dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_png(codecs.encode_png(gray)), gray[:, :, None])
+    rgba = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+    x = np.sin(np.linspace(0, 20, 1000)) * 0.7
+    y, rate = codecs.decode_wav(codecs.encode_wav(x, 22_050))
+    assert rate == 22_050
+    np.testing.assert_allclose(y, x, atol=2.0 / 32767)  # 1 LSB quantize + 32767/32768 scale
+
+
+def test_png_filters_all_decode():
+    """Hand-build a PNG using every filter type (0-4) and check the
+    unfilter path against the known pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ontoemma_spark.media import codecs
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8).astype(np.int32)
+    c = 3
+    lines = []
+    prev = np.zeros(4 * c, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = img[y].ravel()
+        out = np.zeros_like(row)
+        for x in range(len(row)):
+            a = int(row[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ftype == 0:
+                out[x] = row[x]
+            elif ftype == 1:
+                out[x] = (row[x] - a) % 256
+            elif ftype == 2:
+                out[x] = (row[x] - b) % 256
+            elif ftype == 3:
+                out[x] = (row[x] - ((a + b) >> 1)) % 256
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out[x] = (row[x] - pred) % 256
+        lines.append(bytes([ftype]) + out.astype(np.uint8).tobytes())
+        prev = row
+    raw = b"".join(lines)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(codecs.decode_png(payload), img.astype(np.uint8))
 
 
 def _docs(spark):
