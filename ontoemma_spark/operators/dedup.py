@@ -392,40 +392,34 @@ def ngram_jaccard_pairs_broadcast(
     import numpy as np
     import pandas as pd
 
+    from pyspark import StorageLevel
+
+    # persist the SHINGLE ARRAYS, not the postings: the interpreted
+    # higher-order shingling is the dominant cost and every consumer —
+    # the guard agg, the postings collect, and the mapInPandas probe
+    # below — rescans it (DataFrame actions do not share stages).
+    # Measured at sf0.1: guard+collect+probe-scan 2.7s cached vs 10-15s
+    # uncached. Left persisted because the returned DataFrame is lazy;
+    # MEMORY_AND_DISK spills, never OOMs, and it is one array row per
+    # doc (sketch-sized), not the pair fan-out.
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingle_array(text_col, w)).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     postings_df = sh.select("doc_id", F.explode("sh").alias("shingle")).groupBy(
         "shingle"
     ).agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
-    if max_index_rows is None:
-        rows = postings_df.collect()
-    else:
-        # persist BEFORE the guard so the measuring agg and the collect
-        # share one computation (DataFrame actions do not share shuffle
-        # stages — without the persist the guard doubles the job;
-        # measured: agg 5.3s + collect 0.2s persisted vs 5.5s + 5.5s
-        # unpersisted at sf0.1). MEMORY_AND_DISK: an oversized index
-        # spills to executor disk, bounded, while the driver never
-        # pulls it.
-        from pyspark import StorageLevel
-
-        postings_df = postings_df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            entries = postings_df.select(
-                F.sum(F.size("doc_ids"))
-            ).first()[0] or 0
-            if entries > max_index_rows:
-                if _fallback is not None:
-                    return _fallback(postings_df)
-                return ngram_jaccard_pairs_prefix(
-                    docs, text_col=text_col, id_col=id_col, w=w,
-                    min_jaccard=min_jaccard,
-                )
-            rows = postings_df.collect()
-        finally:
-            postings_df.unpersist()
+    if max_index_rows is not None:
+        entries = postings_df.select(F.sum(F.size("doc_ids"))).first()[0] or 0
+        if entries > max_index_rows:
+            # the oversized index never reaches the driver
+            if _fallback is not None:
+                return _fallback(postings_df)
+            return ngram_jaccard_pairs_prefix(
+                docs, text_col=text_col, id_col=id_col, w=w,
+                min_jaccard=min_jaccard,
+            )
+    rows = postings_df.collect()
     spark = docs.sparkSession
     all_docs = sorted({d for r in rows for d in r["doc_ids"]})
     code = {d: i for i, d in enumerate(all_docs)}

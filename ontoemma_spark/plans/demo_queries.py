@@ -635,20 +635,24 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint would kill the job on a real cluster) and spills
     # to disk instead of pinning executor memory.
     #
-    # sig uses the EXPLODED minhash form here, not the narrow one:
-    # md5 inside explode+groupBy runs in whole-stage codegen (2x the
-    # interpreted higher-order transform), and because each doc's
-    # exploded shingles are partition-local, map-side combine reduces
-    # the exchange to exactly one row per doc — same values
-    # (tests pin narrow == exploded), same downstream band join.
-    sig = D.minhash_signatures(
-        D.word_shingles(docs, w=SHINGLE_W), num_hashes=NUM_MINHASHES
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
+    # ONE shingling pass feeds everything: the interpreted higher-order
+    # shingle transform is the dominant cost, so the per-doc shingle
+    # arrays are computed once, cached, and both the signatures (via
+    # explode of the cached array) and the rescore join read the cache.
+    # sig uses the EXPLODED minhash form, not the narrow one: md5 inside
+    # explode+groupBy runs in whole-stage codegen (2x the interpreted
+    # transform), and each doc's exploded shingles are partition-local,
+    # so map-side combine reduces the exchange to one row per doc —
+    # same values (tests pin narrow == exploded), same band join.
     sh_arr = docs.select(
         F.col("doc_id"),
         F.array_distinct(D.shingle_array("text", SHINGLE_W)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = D.minhash_signatures(
+        sh_arr.select("doc_id", F.explode("sh").alias("shingle")),
+        num_hashes=NUM_MINHASHES,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
