@@ -74,18 +74,18 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return [v / n for v in vals]
 
 
-def lsh_bucket_topk(
+def lsh_bucket_candidates(
     embeddings: DataFrame,
     query_vec: list[float],
-    k: int = 10,
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: random-hyperplane LSH. Rows sharing the query's sign
-    signature form the candidate bucket; exact cosine rescoring inside.
-    At 10^12 rows the bucket column becomes the table's partition key so
-    the probe prunes partitions instead of scanning."""
+    """Random-hyperplane LSH candidate bucket: rows whose sign signature
+    equals the query's, with exact cosine computed only for them. The
+    planes are deterministic (_hyperplane integer recurrence), so a SQL
+    twin can embed them as literals — the driver query `ann_lsh_bucket`
+    hash-checks this path against DuckDB."""
     dim = len(query_vec)
     planes = [_hyperplane(dim, s) for s in range(num_planes)]
 
@@ -100,5 +100,21 @@ def lsh_bucket_topk(
         "1" if sum(p * v for p, v in zip(plane, query_vec)) >= 0 else "0" for plane in planes
     )
     bucketed = embeddings.withColumn("sig", signature(F.col(vec_col)))
-    candidates = bucketed.filter(F.col("sig") == q_sig_bits)
-    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+    candidates = bucketed.filter(F.col("sig") == q_sig_bits).drop("sig")
+    return cosine_scores_vs_query(candidates, query_vec, id_col, vec_col)
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: random-hyperplane LSH bucket + exact top-k rescore inside.
+    At 10^12 rows the bucket column becomes the table's partition key so
+    the probe prunes partitions instead of scanning."""
+    scored = lsh_bucket_candidates(embeddings, query_vec, num_planes, id_col, vec_col)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

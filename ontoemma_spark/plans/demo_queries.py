@@ -791,6 +791,87 @@ FROM embeddings
 """
 
 
+# 20b. ann_lsh_bucket — the ANN SCALE path: hyperplane-LSH bucket + rescore
+ANN_LSH_PLANES = 8
+ANN_DIM = 64  # embeddings.parquet dimension at every SF
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row ANN path, oracle-checked: rows sharing the query's
+    random-hyperplane sign signature (deterministic planes) form the
+    candidate bucket; exact cosine is computed only inside it. The SQL
+    twin embeds the identical plane literals, so signature bits and
+    cosines must match bit-for-bit."""
+    from ontoemma_spark.operators.ann import lsh_bucket_candidates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    return lsh_bucket_candidates(emb, qvec, num_planes=ANN_LSH_PLANES).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+def _sql_ann_lsh_bucket() -> str:
+    from ontoemma_spark.operators.ann import _hyperplane
+
+    planes = [_hyperplane(ANN_DIM, s) for s in range(ANN_LSH_PLANES)]
+    lits = [
+        "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]" for plane in planes
+    ]
+    sig = (
+        lambda vec: " || ".join(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN '1' ELSE '0' END)"
+            for lit in lits
+        )
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+qsig AS (SELECT {sig("qe")} AS s FROM q),
+sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {sig("embedding::DOUBLE[]")} AS s
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(
+         list_dot_product(e, (SELECT qe FROM q)) /
+         (sqrt(list_dot_product(e, e)) *
+          sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))), 4) AS cos
+FROM sigs WHERE s = (SELECT s FROM qsig)
+"""
+
+
+# 20c. event_window_counts — tumbling-window event-time aggregation
+def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the streaming windowed aggregation
+    (streaming/events.py windowed_event_counts — identical code path;
+    watermark is a no-op on batch). tests/test_streaming.py pins
+    streaming == batch on the same files; this row pins batch == SQL."""
+    from ontoemma_spark.streaming.events import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+SQL_EVENT_WINDOW_COUNTS = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # 21-23. text analysis — lang id / quality / token counts
 # ---------------------------------------------------------------------------
@@ -1707,6 +1788,8 @@ QUERIES: dict[str, callable] = {
     "alignment_rdf_roundtrip": q_alignment_rdf_roundtrip,
     "neighborhood_sim": q_neighborhood_sim,
     "sessionization": q_sessionization,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "event_window_counts": q_event_window_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1747,4 +1830,6 @@ ORACLES: dict[str, str] = {
     "alignment_rdf_roundtrip": SQL_ALIGNMENT_RDF_ROUNDTRIP,
     "neighborhood_sim": SQL_NEIGHBORHOOD_SIM,
     "sessionization": SQL_SESSIONIZATION,
+    "ann_lsh_bucket": _sql_ann_lsh_bucket(),
+    "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
 }
