@@ -138,7 +138,11 @@ def sessionize_batch(
         prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)), 1
     ).otherwise(0)
     numbered = (
+        # null event times carry no session information and the
+        # streaming twin never sees them (watermarking requires ts) —
+        # drop them so batch == streaming on dirty input
         events.select(user_col, ts_col)
+        .filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
         .withColumn("_new", new_sess)
         .withColumn(
             "_sid",

@@ -99,3 +99,38 @@ def test_extract_stage_is_narrow(spark):
     plan = _plan(extract_triples(pages))
     # pages → triples must not shuffle (embarrassingly parallel at 10^12 pages)
     assert "Exchange" not in plan
+
+
+def test_sessionize_batch_single_exchange(spark):
+    """The three window steps (lag, running sum, groupBy) all partition
+    by user_id — Spark must plan exactly ONE shuffle for the whole
+    sessionization."""
+    from ontoemma_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(sessionize_batch(ev, gap_seconds=3600))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_ann_lsh_bucket_is_narrow_and_python_free(spark):
+    """The LSH bucket probe is a pure column-expression filter over the
+    scan: no shuffle, no Python eval — at 10^12 rows the signature
+    becomes the partition key and this plan prunes instead of scanning."""
+    from ontoemma_spark.operators.ann import lsh_bucket_candidates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(i % 7 - 3) / 3.0 for i in range(64)]
+    plan = _plan(lsh_bucket_candidates(emb, q))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_event_window_counts_single_exchange(spark):
+    from ontoemma_spark.streaming.events import windowed_event_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(windowed_event_counts(ev, window="1 hour"))
+    # partial agg map-side, one shuffle to final agg
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan.lower(), plan
