@@ -90,11 +90,36 @@ def align(
         .join(s_named, "s_id", "left_semi")
         .join(t_named, "t_id", "left_semi")
     )
-    featurized = featurize_pairs(
-        to_score.select("s_id", "t_id"),
-        entity_feature_table(s_entities),
-        entity_feature_table(t_entities),
-    )
+    from ontoemma_spark.operators.scoring_nn import NN_PAIR_FEATURES, MLPModel
+
+    if isinstance(model, MLPModel) and list(model.feature_names) == NN_PAIR_FEATURES:
+        # NN pair scorer (reference _align_nn, OntoEmma.py:737,766-797):
+        # the MLP's features are computed from the pair's canonical
+        # names, not the 32 engineered features — rehydrate names via
+        # broadcast (KB-sized) and score with the native column forward
+        # pass (zero Python in the hot path).
+        from ontoemma_spark.operators.scoring_nn import nn_pair_features
+
+        s_nm = s_entities.select(
+            F.col("research_entity_id").alias("s_id"),
+            F.col("canonical_name").alias("s_name"),
+        )
+        t_nm = t_entities.select(
+            F.col("research_entity_id").alias("t_id"),
+            F.col("canonical_name").alias("t_name"),
+        )
+        featurized = (
+            to_score.select("s_id", "t_id")
+            .join(F.broadcast(s_nm), "s_id")
+            .join(F.broadcast(t_nm), "t_id")
+            .select("s_id", "t_id", *nn_pair_features("s_name", "t_name"))
+        )
+    else:
+        featurized = featurize_pairs(
+            to_score.select("s_id", "t_id"),
+            entity_feature_table(s_entities),
+            entity_feature_table(t_entities),
+        )
     model_scores = model.score_pairs(featurized).select("s_id", "t_id", "score")
 
     scores = equiv.select("s_id", "t_id", "score").unionByName(model_scores)

@@ -1,0 +1,202 @@
+"""run_ontoemma-compatible command line (reference run_ontoemma.py:12-100).
+
+Same surface a reference user drives today:
+
+    python scripts/run_ontoemma.py \
+        -s source.json -t target.obo \
+        -o alignment.tsv [-i gold.tsv] \
+        [-p lr|nn|none] [-m model.json] [-a best|all|modh|modh-exact]
+
+Formats are chosen by extension, like the reference's load_kb/
+load_alignment dispatch (OntoEmma.py:72-106):
+
+  KBs        .json (S1) / .obo (S4) / .owl|.rdf|.xml (S5) / .nt|.ttl (S7)
+             / a parquet path (directory or .parquet)
+  alignments .tsv (S9/S12) / .rdf|.owl|.xml (S11/S13) / .jsonl (S10)
+
+Model types (-p): `lr` = engineered-feature logistic regression
+(default weights, or -m json with {"weights": {...}, "bias": b});
+`nn` = trained MLP pair scorer (pinned default weights, or -m json);
+`none` = string-equivalence + raw candidate scores only (reference
+behavior when no model is given).
+
+When -i gold is provided the produced alignment is evaluated and
+precision/recall/F1 are printed (compare_alignment_to_gold,
+OntoEmma.py:904-932).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ontoemma_spark import config
+
+
+def load_kb_any(spark: SparkSession, path: str) -> DataFrame:
+    """Entities DataFrame from any supported KB format (by extension)."""
+    from ontoemma_spark.sources import dbpedia, kb_json, obo, owl
+
+    low = path.lower()
+    if low.endswith(".json"):
+        ents, _ = kb_json.load_kb_json(spark, path)
+        return ents
+    if low.endswith(".obo"):
+        ents, _ = obo.load_obo(spark, path)
+        return ents
+    if low.endswith((".owl", ".rdf", ".xml")):
+        ents, _ = owl.load_owl(spark, path)
+        return ents
+    if low.endswith((".nt", ".ttl")):
+        return dbpedia.load_dbpedia_ntriples(spark, path)
+    if low.endswith(".parquet") or os.path.isdir(path):
+        return spark.read.parquet(path)
+    raise ValueError(f"unrecognized KB format: {path}")
+
+
+def load_alignment_any(spark: SparkSession, path: str) -> DataFrame:
+    """(s_id, t_id) pairs from TSV / RDF / jsonlines gold files."""
+    from ontoemma_spark.sources import alignment as asrc
+    from ontoemma_spark.sources import owl
+
+    low = path.lower()
+    if low.endswith(".tsv"):
+        # gold TSVs carry 0/1 labels (reference format) — only label==1
+        # pairs are gold positives
+        return asrc.positive_pairs(asrc.load_alignment_tsv(spark, path))
+    if low.endswith((".rdf", ".owl", ".xml")):
+        return owl.load_alignment_rdf(spark, path).select(
+            "s_id", "t_id"
+        )
+    if low.endswith((".jsonl", ".json")):
+        return asrc.load_alignment_jsonlines(spark, path).select("s_id", "t_id")
+    raise ValueError(f"unrecognized alignment format: {path}")
+
+
+def write_alignment_any(alignment: DataFrame, path: str) -> None:
+    from ontoemma_spark.sources import alignment as asrc
+    from ontoemma_spark.sources import owl
+
+    low = path.lower()
+    if low.endswith(".tsv"):
+        asrc.write_alignment_tsv(alignment, path)
+    elif low.endswith((".rdf", ".owl", ".xml")):
+        owl.write_alignment_rdf(alignment, path)
+    else:
+        raise ValueError(f"unrecognized output alignment format: {path}")
+
+
+def load_model(model_type: str, model_path: str | None):
+    """Model object per -p/-m (reference: -m model dir + -p type)."""
+    from ontoemma_spark.operators.nn_weights import default_nn_model
+    from ontoemma_spark.operators.scoring import DEFAULT_LR_MODEL, LRModel
+    from ontoemma_spark.operators.scoring_nn import MLPModel
+
+    if model_type == "none":
+        return None
+    blob = None
+    if model_path:
+        with open(model_path) as f:
+            blob = json.load(f)
+    if model_type == "lr":
+        return LRModel.from_dict(blob) if blob else DEFAULT_LR_MODEL
+    if model_type == "nn":
+        return MLPModel.from_dict(blob) if blob else default_nn_model()
+    raise ValueError(f"unknown model type {model_type!r} (lr | nn | none)")
+
+
+def run_align(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    output: str | None = None,
+    gold: str | None = None,
+    model_type: str = "lr",
+    model_path: str | None = None,
+    strategy: str = "best",
+    threshold: float = config.SIM_SCORE_THRESHOLD,
+) -> tuple[DataFrame, dict]:
+    """The CLI's whole pipeline, importable for tests: load KBs → align
+    → write → (optionally) evaluate. Returns (alignment, metrics)."""
+    from ontoemma_spark.align import align
+    from ontoemma_spark.operators.evaluate import precision_recall_f1
+
+    s_ents = load_kb_any(spark, source)
+    t_ents = load_kb_any(spark, target)
+
+    if model_type == "none":
+        # reference behavior without a model: string-equivalence matches
+        # only, thresholded candidate scores are not model-calibrated
+        result = align(s_ents, t_ents, model=None, strategy=strategy,
+                       threshold=threshold)
+        alignment = result.alignment
+    elif strategy == "modh-exact":
+        # faithful MODH needs the KB entity-load order (the reference
+        # indexes its cost matrix by kb.get_entity_index)
+        from ontoemma_spark.operators.assignment import modified_hungarian_alignment
+
+        result = align(s_ents, t_ents, model=load_model(model_type, model_path),
+                       strategy="all", threshold=0.0)
+        s_order = [r[0] for r in s_ents.select("research_entity_id").collect()]
+        t_order = [r[0] for r in t_ents.select("research_entity_id").collect()]
+        alignment = modified_hungarian_alignment(
+            result.scores, s_order, t_order, threshold=threshold
+        )
+    else:
+        result = align(s_ents, t_ents, model=load_model(model_type, model_path),
+                       strategy=strategy, threshold=threshold)
+        alignment = result.alignment
+
+    if output:
+        write_alignment_any(alignment.select("s_id", "t_id", "score"), output)
+
+    metrics: dict = {"alignments": alignment.count()}
+    if gold:
+        g = load_alignment_any(spark, gold)
+        m = precision_recall_f1(alignment.select("s_id", "t_id"), g).first()
+        metrics.update(
+            precision=m["precision"], recall=m["recall"], f1=m["f1"]
+        )
+    return alignment, metrics
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser(
+        description="OntoEmma-compatible KB aligner (PySpark)."
+    )
+    ap.add_argument("-s", "--source", required=True)
+    ap.add_argument("-t", "--target", required=True)
+    ap.add_argument("-o", "--output")
+    ap.add_argument("-i", "--input", help="gold alignment for evaluation")
+    ap.add_argument("-p", "--model-type", default="lr",
+                    choices=["lr", "nn", "none"])
+    ap.add_argument("-m", "--model-path")
+    ap.add_argument("-a", "--alignment-strategy", default="best",
+                    choices=["best", "all", "modh", "modh-exact"])
+    ap.add_argument("--threshold", type=float,
+                    default=config.SIM_SCORE_THRESHOLD)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from ontoemma_spark.session import get_spark
+
+    spark = get_spark(app_name="ontoemma-align", master=args.master)
+    try:
+        _, metrics = run_align(
+            spark,
+            source=args.source,
+            target=args.target,
+            output=args.output,
+            gold=args.input,
+            model_type=args.model_type,
+            model_path=args.model_path,
+            strategy=args.alignment_strategy,
+            threshold=args.threshold,
+        )
+        print(json.dumps(metrics))
+        return metrics
+    finally:
+        spark.stop()

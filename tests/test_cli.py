@@ -1,0 +1,106 @@
+"""run_ontoemma CLI analog: format dispatch by extension, model types
+lr/nn/none, strategies incl. faithful modh-exact, gold evaluation —
+the surface a reference user drives (run_ontoemma.py:12-100)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontoemma_spark import datagen
+from ontoemma_spark.cli import load_kb_any, load_model, run_align
+from ontoemma_spark.sources.kb_json import dump_kb_json
+from ontoemma_spark.sources.alignment import write_alignment_tsv
+
+
+@pytest.fixture(scope="module")
+def kb_files(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_kbs")
+    s_ents, s_edges = datagen.synthetic_kb(spark, "S", n_entities=80, id_offset=0)
+    t_ents, t_edges = datagen.synthetic_kb(spark, "T", n_entities=80, id_offset=30)
+    src, tgt = str(d / "source.json"), str(d / "target.json")
+    dump_kb_json(s_ents, s_edges, "S", src)
+    dump_kb_json(t_ents, t_edges, "T", tgt)
+    gold = datagen.gold_alignment(spark, "S", "T", 80, 30, 80)
+    gold_path = str(d / "gold.tsv")
+    write_alignment_tsv(gold.withColumn("score", F.lit(1.0)), gold_path)
+    return src, tgt, gold_path, str(d)
+
+
+def test_cli_align_lr_with_gold_eval(spark, kb_files):
+    src, tgt, gold, d = kb_files
+    out = f"{d}/out_lr.tsv"
+    alignment, metrics = run_align(
+        spark, src, tgt, output=out, gold=gold, model_type="lr"
+    )
+    assert metrics["alignments"] > 0
+    # reference micro-fixture thresholds (tests/test_ontoemma.py:69-71)
+    assert metrics["precision"] >= 0.8
+    assert metrics["recall"] >= 0.6
+    assert metrics["f1"] >= 0.7
+    # the written TSV reloads to the same pair set
+    from ontoemma_spark.sources.alignment import load_alignment_tsv
+
+    back = load_alignment_tsv(spark, out)
+    assert back.count() == alignment.count()
+
+
+def test_cli_align_nn_default_weights(spark, kb_files):
+    src, tgt, gold, d = kb_files
+    _, metrics = run_align(spark, src, tgt, gold=gold, model_type="nn")
+    # NN smoke contract (reference tests/test_ontoemma.py:38-40: P/R/F1
+    # just have to exist); our trained MLP should do far better than 0
+    assert metrics["f1"] > 0.5
+
+
+def test_cli_align_none_and_rdf_output(spark, kb_files):
+    src, tgt, gold, d = kb_files
+    out = f"{d}/out.rdf"
+    alignment, metrics = run_align(
+        spark, src, tgt, output=out, gold=gold, model_type="none"
+    )
+    assert metrics["alignments"] > 0
+    from ontoemma_spark.sources.owl import load_alignment_rdf
+
+    back = load_alignment_rdf(spark, out)
+    assert back.count() == alignment.count()
+
+
+def test_cli_modh_exact_strategy(spark, kb_files):
+    src, tgt, gold, d = kb_files
+    _, metrics = run_align(
+        spark, src, tgt, gold=gold, model_type="lr", strategy="modh-exact"
+    )
+    # 1:1 assignment over an overlapping-KB fixture still recovers gold
+    assert metrics["f1"] >= 0.7
+
+
+def test_cli_model_json_roundtrip(spark, kb_files, tmp_path):
+    from ontoemma_spark.operators.nn_weights import default_nn_model
+    from ontoemma_spark.operators.scoring import DEFAULT_LR_MODEL
+
+    lr_path = str(tmp_path / "lr.json")
+    with open(lr_path, "w") as f:
+        json.dump(DEFAULT_LR_MODEL.to_dict(), f)
+    m = load_model("lr", lr_path)
+    assert m.weights == DEFAULT_LR_MODEL.weights
+
+    nn_path = str(tmp_path / "nn.json")
+    with open(nn_path, "w") as f:
+        json.dump(default_nn_model().to_dict(), f)
+    m2 = load_model("nn", nn_path)
+    assert m2.feature_names == default_nn_model().feature_names
+
+
+def test_cli_kb_parquet_dispatch(spark, kb_files, tmp_path):
+    s_ents, _ = datagen.synthetic_kb(spark, "S", n_entities=20)
+    p = str(tmp_path / "kb_parquet")
+    s_ents.write.parquet(p)
+    assert load_kb_any(spark, p).count() == 20
+
+
+def test_cli_rejects_unknown_formats(spark):
+    with pytest.raises(ValueError, match="unrecognized KB format"):
+        load_kb_any(spark, "/tmp/kb.xyz")
+    with pytest.raises(ValueError, match="unknown model type"):
+        load_model("torch", None)
