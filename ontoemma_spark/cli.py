@@ -163,6 +163,105 @@ def run_align(
     return alignment, metrics
 
 
+def _entities_from_training_pairs(raw: DataFrame) -> DataFrame:
+    """Distinct entity table rebuilt from the source_ent/target_ent
+    structs of a training jsonlines file (S10 shape), normalized to the
+    full entity schema with the same defaults the KB loader applies."""
+    import pyspark.sql.functions as F
+
+    def side(col: str) -> DataFrame:
+        e = raw.select(F.col(f"{col}.*"))
+        have = set(e.columns)
+        return e.select(
+            F.col("research_entity_id"),
+            F.col("canonical_name"),
+            (F.coalesce(F.col("aliases"), F.array().cast("array<string>"))
+             if "aliases" in have else F.array().cast("array<string>")).alias("aliases"),
+            (F.coalesce(F.col("definition"), F.lit("<s>"))
+             if "definition" in have else F.lit("<s>")).alias("definition"),
+            (F.coalesce(F.col("source_urls"), F.array().cast("array<string>"))
+             if "source_urls" in have else F.array().cast("array<string>")).alias("source_urls"),
+            (F.col("category").cast("string")
+             if "category" in have else F.lit(None).cast("string")).alias("category"),
+            (F.coalesce(F.col("other_contexts"), F.array().cast("array<string>"))
+             if "other_contexts" in have else F.array().cast("array<string>")).alias("other_contexts"),
+            F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
+        )
+
+    return (
+        side("source_ent").unionByName(side("target_ent"))
+        .dropDuplicates(["research_entity_id"])
+    )
+
+
+def run_train(
+    spark: SparkSession,
+    train_path: str,
+    model_type: str = "lr",
+    model_out: str | None = None,
+    eval_path: str | None = None,
+    threshold: float = 0.5,
+) -> tuple[object, dict]:
+    """Train a pair scorer from S10 training jsonlines (train_ontoemma.py
+    analog: config→train/dev jsonlines → model archive; here the archive
+    is a JSON weight file consumable by -m). Returns (model, metrics)."""
+    from ontoemma_spark.operators.features import entity_feature_table, featurize_pairs
+    from ontoemma_spark.operators.scoring import fit_lr
+    from ontoemma_spark.operators.scoring_nn import fit_mlp, nn_pair_features
+    from ontoemma_spark.sources.alignment import load_alignment_jsonlines
+
+    import pyspark.sql.functions as F
+
+    def featurize(path: str) -> DataFrame:
+        raw = load_alignment_jsonlines(spark, path)
+        pairs = raw.select("s_id", "t_id", "label")
+        if model_type == "nn":
+            named = raw.select(
+                "s_id", "t_id", "label",
+                F.col("source_ent.canonical_name").alias("s_name"),
+                F.col("target_ent.canonical_name").alias("t_name"),
+            )
+            return named.select(
+                "s_id", "t_id", "label", *nn_pair_features("s_name", "t_name")
+            )
+        feats = entity_feature_table(_entities_from_training_pairs(raw))
+        return featurize_pairs(pairs.select("s_id", "t_id"), feats, feats).join(
+            pairs, ["s_id", "t_id"]
+        )
+
+    train_feats = featurize(train_path)
+    if model_type == "lr":
+        model = fit_lr(train_feats, "label")
+    elif model_type == "nn":
+        from ontoemma_spark.operators.scoring_nn import NN_PAIR_FEATURES
+
+        model = fit_mlp(train_feats, "label", feature_names=NN_PAIR_FEATURES)
+    else:
+        raise ValueError(f"unknown model type {model_type!r} (lr | nn)")
+
+    if model_out:
+        with open(model_out, "w") as f:
+            json.dump(model.to_dict(), f)
+
+    metrics: dict = {"trained_on": train_feats.count(), "model_type": model_type}
+    if eval_path:
+        ev = featurize(eval_path)
+        scored = model.score_pairs(ev)
+        agg = scored.select(
+            F.sum(((F.col("score") >= threshold) & (F.col("label") == 1.0)).cast("int")).alias("tp"),
+            F.sum(((F.col("score") >= threshold) & (F.col("label") == 0.0)).cast("int")).alias("fp"),
+            F.sum(((F.col("score") < threshold) & (F.col("label") == 1.0)).cast("int")).alias("fn"),
+        ).first()
+        tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        metrics.update(
+            precision=round(p, 6), recall=round(r, 6),
+            f1=round(2 * p * r / (p + r), 6) if p + r else 0.0,
+        )
+    return model, metrics
+
+
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser(
         description="OntoEmma-compatible KB aligner (PySpark)."

@@ -104,3 +104,61 @@ def test_cli_rejects_unknown_formats(spark):
         load_kb_any(spark, "/tmp/kb.xyz")
     with pytest.raises(ValueError, match="unknown model type"):
         load_model("torch", None)
+
+
+@pytest.fixture(scope="module")
+def training_jsonl(spark, tmp_path_factory):
+    """S10 training file: gold positives + hard negatives from the
+    candidate ranking, entities embedded as structs."""
+    from ontoemma_spark.operators.blocking import candidate_pairs, entity_tokens
+    from ontoemma_spark.operators.evaluate import hard_negatives
+    from ontoemma_spark.sources.alignment import write_training_jsonlines
+
+    d = tmp_path_factory.mktemp("cli_train")
+    s_ents, _ = datagen.synthetic_kb(spark, "S", n_entities=60, id_offset=0)
+    t_ents, _ = datagen.synthetic_kb(spark, "T", n_entities=60, id_offset=20)
+    gold = datagen.gold_alignment(spark, "S", "T", 60, 20, 60).select("s_id", "t_id")
+    cands = candidate_pairs(entity_tokens(s_ents), entity_tokens(t_ents), 60, 60)
+    pos = cands.join(gold, ["s_id", "t_id"], "left_semi").select("s_id", "t_id").withColumn(
+        "label", F.lit(1.0))
+    neg = hard_negatives(cands, gold, per_source=1).select("s_id", "t_id").withColumn(
+        "label", F.lit(0.0))
+    pairs = pos.unionByName(neg)
+    s_struct = s_ents.select(
+        F.col("research_entity_id").alias("s_id"),
+        F.struct(*s_ents.columns).alias("source_ent"))
+    t_struct = t_ents.select(
+        F.col("research_entity_id").alias("t_id"),
+        F.struct(*t_ents.columns).alias("target_ent"))
+    enriched = pairs.join(s_struct, "s_id").join(t_struct, "t_id")
+    path = str(d / "train_jsonl")
+    write_training_jsonlines(enriched.select("label", "source_ent", "target_ent"), path)
+    return path, str(d)
+
+
+def test_cli_train_lr_and_use_model(spark, training_jsonl, kb_files):
+    from ontoemma_spark.cli import run_train
+
+    train_path, d = training_jsonl
+    model_out = f"{d}/lr_model.json"
+    model, metrics = run_train(
+        spark, train_path, model_type="lr", model_out=model_out,
+        eval_path=train_path)
+    assert metrics["trained_on"] > 0
+    # separable synthetic features: train-set F1 should be high
+    assert metrics["f1"] >= 0.8, metrics
+    # the saved weights drive the align CLI end-to-end
+    src, tgt, gold, _ = kb_files
+    _, am = run_align(spark, src, tgt, gold=gold, model_type="lr",
+                      model_path=model_out)
+    assert am["f1"] >= 0.7, am
+
+
+def test_cli_train_nn(spark, training_jsonl):
+    from ontoemma_spark.cli import run_train
+
+    train_path, d = training_jsonl
+    model, metrics = run_train(
+        spark, train_path, model_type="nn", model_out=f"{d}/nn_model.json",
+        eval_path=train_path)
+    assert metrics["f1"] >= 0.8, metrics
