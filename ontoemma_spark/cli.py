@@ -262,6 +262,132 @@ def run_train(
     return model, metrics
 
 
+def run_extract_training_data(
+    spark: SparkSession,
+    mrconso: str,
+    out_dir: str,
+    mrdef: str | None = None,
+    mrrel: str | None = None,
+) -> dict:
+    """extract_training_data_from_umls.py analog (SURVEY §3.3): RRF →
+    per-KB entity JSON dumps + positive-mapping TSV + hard/easy-negative
+    training jsonlines split train/dev/test. Every step is the
+    already-tested Spark operator; this composes them in the reference's
+    order (UMLSExtractor.main, :70-120)."""
+    import pyspark.sql.functions as F
+
+    from ontoemma_spark.operators.blocking import candidate_pairs, entity_tokens
+    from ontoemma_spark.operators.evaluate import hard_negatives
+    from ontoemma_spark.operators.training import easy_negatives, train_dev_test_split
+    from ontoemma_spark.sources.alignment import write_training_jsonlines
+    from ontoemma_spark.sources.kb_json import dump_kb_json
+    from ontoemma_spark.sources import umls
+
+    os.makedirs(out_dir, exist_ok=True)
+    concepts = umls.extract_concepts(spark, mrconso)
+    mappings = umls.extract_mappings(concepts)
+    entities = umls.collapse_concepts(concepts)
+    if mrdef:
+        entities = umls.extract_definitions(entities, spark, mrdef)
+    else:
+        entities = entities.withColumn("definition", F.lit(""))
+    rels = (
+        umls.extract_relationships(entities, spark, mrrel)
+        if mrrel
+        else spark.createDataFrame(
+            [], "subject_id string, object_id string, relation_type string"
+        )
+    )
+
+    kb_ents = entities.select(
+        "SAB",
+        "research_entity_id",
+        "canonical_name",
+        "aliases",
+        F.coalesce("definition", F.lit("")).alias("definition"),
+        F.array().cast("array<string>").alias("source_urls"),
+        F.col("SAB").alias("category"),
+        F.array().cast("array<string>").alias("other_contexts"),
+        F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
+    )
+    edges_full = rels.select(
+        "subject_id", "object_id", "relation_type",
+        F.lit(False).alias("symmetric"),
+        F.lit(None).cast("array<string>").alias("labels"),
+    )
+
+    sabs = sorted(r[0] for r in kb_ents.select("SAB").distinct().collect())
+    for sab in sabs:
+        ents_sab = kb_ents.filter(F.col("SAB") == sab).drop("SAB")
+        ids = ents_sab.select(
+            F.col("research_entity_id").alias("subject_id")
+        )
+        edges_sab = edges_full.join(ids, "subject_id", "left_semi").join(
+            ids.withColumnRenamed("subject_id", "object_id"), "object_id", "left_semi"
+        )
+        dump_kb_json(ents_sab, edges_sab, sab, os.path.join(out_dir, f"kb_{sab}.json"))
+
+    # positive mappings TSV (write_mappings_to_file, :554-567)
+    mappings.select(
+        F.col("id1"), F.col("id2"), F.lit("1"), F.col("CUI")
+    ).toPandas().to_csv(
+        os.path.join(out_dir, "mappings.tsv"), sep="\t", header=False, index=False
+    )
+
+    # negatives per KB pair (extract_negative_mappings, :354-401)
+    kb_pairs = [
+        (r["sab1"], r["sab2"])
+        for r in mappings.select("sab1", "sab2").distinct().collect()
+    ]
+    all_pairs = None
+    for sab1, sab2 in kb_pairs:
+        s_kb = kb_ents.filter(F.col("SAB") == sab1).drop("SAB")
+        t_kb = kb_ents.filter(F.col("SAB") == sab2).drop("SAB")
+        gold = mappings.filter(
+            (F.col("sab1") == sab1) & (F.col("sab2") == sab2)
+        ).select(F.col("id1").alias("s_id"), F.col("id2").alias("t_id"))
+        cands = candidate_pairs(
+            entity_tokens(s_kb), entity_tokens(t_kb), s_kb.count(), t_kb.count()
+        )
+        pos = gold.withColumn("label", F.lit(1.0))
+        hard = hard_negatives(cands, gold).select("s_id", "t_id")
+        easy = easy_negatives(gold, t_kb)
+        neg = hard.unionByName(easy).distinct().withColumn("label", F.lit(0.0))
+        pairs = pos.unionByName(neg)
+        s_struct = s_kb.select(
+            F.col("research_entity_id").alias("s_id"),
+            F.struct(*s_kb.columns).alias("source_ent"),
+        )
+        t_struct = t_kb.select(
+            F.col("research_entity_id").alias("t_id"),
+            F.struct(*t_kb.columns).alias("target_ent"),
+        )
+        enriched = pairs.join(s_struct, "s_id").join(t_struct, "t_id").select(
+            "s_id", "t_id", "label", "source_ent", "target_ent"
+        )
+        all_pairs = enriched if all_pairs is None else all_pairs.unionByName(enriched)
+
+    metrics: dict = {
+        "kbs": sabs,
+        "entities": entities.count(),
+        "positive_mappings": mappings.count(),
+    }
+    if all_pairs is not None:
+        # split on the id projection (the split hashes its non-label
+        # columns — structs are not hashable there), then rejoin structs
+        split = train_dev_test_split(all_pairs.select("s_id", "t_id", "label"))
+        enriched_split = all_pairs.join(split, ["s_id", "t_id", "label"])
+        for part in ("train", "dev", "test"):
+            write_training_jsonlines(
+                enriched_split.filter(F.col("split") == part).select(
+                    "label", "source_ent", "target_ent"
+                ),
+                os.path.join(out_dir, f"{part}_jsonl"),
+            )
+        metrics["training_pairs"] = split.count()
+    return metrics
+
+
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser(
         description="OntoEmma-compatible KB aligner (PySpark)."

@@ -162,3 +162,52 @@ def test_cli_train_nn(spark, training_jsonl):
         spark, train_path, model_type="nn", model_out=f"{d}/nn_model.json",
         eval_path=train_path)
     assert metrics["f1"] >= 0.8, metrics
+
+
+def test_cli_extract_training_data_end_to_end(spark, tmp_path):
+    """Entry point 3 (extract_training_data_from_umls analog): RRF in →
+    per-KB JSON dumps + mappings TSV + train/dev/test jsonlines out, and
+    the produced training file actually trains a model."""
+    from ontoemma_spark.cli import run_extract_training_data, run_train
+
+    def _write_rrf(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write("|".join(r) + "|\n")
+
+    conso = []
+    # 25 concepts: enough that each concept's unique number token clears
+    # the reference IDF floor ln(20) during the final align check
+    for i in range(25):
+        # every concept has one GO and one HPO atom → 25 cross-KB positives
+        conso.append(["C%d" % i, "ENG", "P", "L%d" % i, "PF", "S%d" % i, "Y",
+                      "A%d" % (2 * i), "", "", "", "GO", "PT", "G%d" % i,
+                      "disease %d alpha" % i, "0", "N", ""])
+        conso.append(["C%d" % i, "ENG", "P", "L%dh" % i, "PF", "S%dh" % i, "Y",
+                      "A%d" % (2 * i + 1), "", "", "", "HPO", "PT", "H%d" % i,
+                      "disease %d alpha variant" % i, "0", "N", ""])
+    _write_rrf(tmp_path / "MRCONSO.RRF", conso)
+    out = str(tmp_path / "out")
+
+    metrics = run_extract_training_data(spark, str(tmp_path / "MRCONSO.RRF"), out)
+    assert metrics["kbs"] == ["GO", "HPO"]
+    assert metrics["positive_mappings"] == 25
+    assert metrics["training_pairs"] > 25  # positives + negatives
+    import os
+    assert os.path.exists(f"{out}/kb_GO.json")
+    assert os.path.exists(f"{out}/mappings.tsv")
+
+    # the produced train file round-trips through the trainer...
+    model_out = str(tmp_path / "umls_lr.json")
+    _, tm = run_train(spark, f"{out}/train_jsonl", model_type="lr",
+                      model_out=model_out, eval_path=f"{out}/train_jsonl")
+    assert tm["trained_on"] > 0
+    assert tm["f1"] > 0.5, tm
+
+    # ...and the TRAINED model aligns the dumped KBs (extract → train →
+    # align, the reference's full workflow; the default weights score
+    # these suffix-variant names below any threshold — model quality,
+    # not plumbing)
+    _, am = run_align(spark, f"{out}/kb_GO.json", f"{out}/kb_HPO.json",
+                      model_type="lr", model_path=model_out, threshold=0.5)
+    assert am["alignments"] > 0
