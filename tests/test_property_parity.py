@@ -114,3 +114,37 @@ def test_connected_components_match_union_find(spark, edges):
         groups.setdefault(find(node), set()).add(node)
     expected = {n: min(g) for g in groups.values() for n in g}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),        # user_id
+            st.integers(min_value=0, max_value=100_000),  # ts offset seconds
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5_000),            # gap seconds
+)
+def test_sessionize_batch_matches_python(spark, events, gap):
+    """Random (user, ts) streams incl. duplicate timestamps: the batch
+    window-function sessionization must equal the closed-form twin."""
+    import pandas as pd
+
+    from ontoemma_spark.streaming.sessions import sessionize_batch, sessionize_py
+
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1)
+    rows = [(u, base + timedelta(seconds=s)) for u, s in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    rows = [(u, pd.Timestamp(t)) for u, t in rows]
+    got = sorted(
+        (r["user_id"], pd.Timestamp(r["session_start"]),
+         pd.Timestamp(r["session_end"]), r["n_events"])
+        for r in sessionize_batch(df, gap_seconds=gap).collect()
+    )
+    expected = sorted(sessionize_py(rows, gap, include_open=True))
+    assert got == expected
