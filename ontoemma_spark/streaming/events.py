@@ -65,3 +65,18 @@ def run_stream_to_memory(
         .outputMode("complete")
         .start()
     )
+
+
+def dedup_event_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once ingest dedup: drop replayed event_ids within the
+    watermark horizon (the at-least-once source → exactly-once sink
+    bridge every crawl/event ingest needs). State is bounded by the
+    watermark — ids older than the horizon are expired, so unbounded
+    corpora cannot grow unbounded state. Works identically on a batch
+    DataFrame (global distinct), which is how the equivalence test pins
+    it."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+        return src.dropDuplicatesWithinWatermark(["event_id"])
+    return src.dropDuplicates(["event_id"])

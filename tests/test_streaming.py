@@ -39,3 +39,34 @@ def test_stream_matches_batch(spark, tmp_path):
         q.stop()
     assert got == expected
     assert len(expected) > 0
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Replayed events (at-least-once source): the streaming
+    watermarked dedup must deliver exactly the batch-distinct id set."""
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.streaming.events import dedup_event_stream, read_event_stream
+
+    src = str(tmp_path / "dup_events")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    # file 1: originals; file 2: a replayed subset (duplicate event_ids)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    deduped = dedup_event_stream(read_event_stream(spark, src))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_events")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_id"] for r in spark.table("dedup_events").collect()}
+    expected = {r["event_id"] for r in events.collect()}
+    assert got == expected
