@@ -59,6 +59,17 @@ def _additional_details_map(raw: DataFrame):
 def load_kb_json(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """(entities, edges) from a whole-KB JSON file (S1)."""
     raw = spark.read.option("multiLine", "true").json(path)
+    ent_el = (
+        raw.schema["entities"].dataType.elementType
+        if "entities" in raw.schema.names
+        else None
+    )
+    if ent_el is None or not hasattr(ent_el, "names"):
+        # empty entities list infers as array<string> — no entities
+        return (
+            spark.createDataFrame([], ENTITY_SCHEMA),
+            spark.createDataFrame([], EDGE_SCHEMA),
+        )
     ents = raw.select(F.explode("entities").alias("e")).select(
         F.col("e.research_entity_id").alias("research_entity_id"),
         F.col("e.canonical_name").alias("canonical_name"),

@@ -211,3 +211,17 @@ def test_cli_extract_training_data_end_to_end(spark, tmp_path):
     _, am = run_align(spark, f"{out}/kb_GO.json", f"{out}/kb_HPO.json",
                       model_type="lr", model_path=model_out, threshold=0.5)
     assert am["alignments"] > 0
+
+
+def test_cli_empty_kb_aligns_to_zero(spark, tmp_path):
+    """Empty-KB JSON (entities: []) infers as array<string> — the loader
+    must return empty typed frames, and align must yield 0 alignments in
+    both directions rather than crash."""
+    s_ents, s_edges = datagen.synthetic_kb(spark, "S", n_entities=20)
+    dump_kb_json(s_ents, s_edges, "S", str(tmp_path / "s.json"))
+    dump_kb_json(s_ents.limit(0), s_edges.limit(0), "E", str(tmp_path / "e.json"))
+    _, m1 = run_align(spark, str(tmp_path / "s.json"), str(tmp_path / "e.json"),
+                      model_type="lr")
+    _, m2 = run_align(spark, str(tmp_path / "e.json"), str(tmp_path / "s.json"),
+                      model_type="nn")
+    assert m1["alignments"] == 0 and m2["alignments"] == 0
