@@ -27,6 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# round-2 additions, timed separately so the 15-query headline stays
+# comparable across rounds
+EXTENDED = [
+    "sessionization",
+    "event_window_counts",
+    "ann_lsh_bucket",
+    "nn_scores",
+    "kg_pipeline",
+]
+
 # headline queries: the shuffle-heavy / scale-relevant subset
 HEADLINE = [
     "blocking_candidates",
@@ -130,9 +140,10 @@ def _run_scaling(cpus: int, replication: int = 400) -> tuple[float, int]:
         spark.stop()
 
 
-def _run_workload(cpus: int) -> tuple[dict, float, int]:
-    """Run headline queries on a fresh local[cpus] session; returns
-    (per-query seconds, total seconds, docs processed)."""
+def _run_workload(cpus: int) -> tuple[dict, float, int, dict]:
+    """Run headline + extended queries on a fresh local[cpus] session;
+    returns (per-query seconds, headline total, docs processed,
+    extended per-query seconds)."""
     from ontoemma_spark.plans import demo_queries as dq
     from ontoemma_spark.session import get_spark
 
@@ -175,7 +186,24 @@ def _run_workload(cpus: int) -> tuple[dict, float, int]:
             times[name] = round(best, 3)
             total += best
         spark.catalog.clearCache()
-        return times, total, n_docs
+        # extended set: single timed run each (kg_pipeline runs the whole
+        # 4-stage pipeline incl. writes — best-of-2 would double wall for
+        # a metric that is informational, not the headline)
+        ext: dict[str, float] = {}
+        for name in EXTENDED:
+            fn = dq.QUERIES.get(name)
+            if fn is None:
+                continue
+            if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+                try:
+                    fn(spark, warm_dir).count()
+                except Exception:
+                    pass
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            ext[name] = round(time.perf_counter() - t0, 3)
+        return times, total, n_docs, ext
     finally:
         spark.stop()
 
@@ -185,12 +213,13 @@ def main() -> None:
     cpus_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    times_hi, total_hi, n_docs = _run_workload(cpus_hi)
+    times_hi, total_hi, n_docs, ext = _run_workload(cpus_hi)
     out = {
         "metric": "headline_queries_total",
         "value": round(total_hi, 3),
         "unit": "sec",
         "queries": times_hi,
+        "queries_extended": ext,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus_hi,
         "docs": n_docs,
