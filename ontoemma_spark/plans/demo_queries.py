@@ -1746,6 +1746,83 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
+# 40. kb_validate_filter — P2/P3 validation + P7/P8/P9 ingest filters
+def q_kb_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation + ingest-filter chain (P2, P7, P8, P9) over an entity
+    table constructed deterministically from `customer`: empty names are
+    quarantined, definition-or-context keeps only documented entities,
+    name==id drops unnamed imports, and alias sampling prefixes ≤2
+    aliases of length ≤10. Every operator is the real module function."""
+    from ontoemma_spark.operators.normalize import (
+        filter_has_definition_or_context,
+        filter_named_entities,
+        sample_aliases,
+    )
+    from ontoemma_spark.sources.kb_json import validate_entities
+
+    c = _t(spark, sf_dir, "customer")
+    ents = c.select(
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias(
+            "research_entity_id"
+        ),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(""))
+        .when(
+            F.col("c_custkey") % 11 == 0,
+            F.concat(F.lit("C:"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("canonical_name"),
+        F.array(
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")),
+            F.lower("c_name"),
+        ).alias("aliases"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.col("c_mktsegment"), F.lit(" customer"))
+        ).alias("definition"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.array(F.col("c_mktsegment"))
+        ).otherwise(F.array().cast("array<string>")).alias("other_contexts"),
+    )
+    valid, _quarantine = validate_entities(ents)
+    kept = filter_named_entities(filter_has_definition_or_context(valid))
+    out = sample_aliases(kept, max_aliases=2, max_len=10)
+    return out.select(
+        "research_entity_id",
+        "canonical_name",
+        "aliases",
+        F.length("definition").cast("bigint").alias("def_len"),
+        F.size("other_contexts").cast("bigint").alias("n_contexts"),
+    )
+
+
+SQL_KB_VALIDATE_FILTER = """
+WITH ents AS (
+  SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS research_entity_id,
+         CASE WHEN c_custkey % 7 = 0 THEN ''
+              WHEN c_custkey % 11 = 0 THEN 'C:' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS canonical_name,
+         [c_name, c_mktsegment, 'N' || CAST(c_nationkey AS VARCHAR),
+          lower(c_name)] AS aliases,
+         CASE WHEN c_custkey % 3 = 0 THEN ''
+              ELSE c_mktsegment || ' customer' END AS definition,
+         CASE WHEN c_custkey % 5 = 0 THEN [c_mktsegment]
+              ELSE []::VARCHAR[] END AS other_contexts
+  FROM customer
+)
+SELECT research_entity_id, canonical_name,
+       list_filter(aliases, a -> len(a) <= 10)[1:2] AS aliases,
+       CAST(len(definition) AS BIGINT) AS def_len,
+       CAST(len(other_contexts) AS BIGINT) AS n_contexts
+FROM ents
+WHERE research_entity_id IS NOT NULL AND len(research_entity_id) > 0
+  AND canonical_name IS NOT NULL AND len(canonical_name) > 0
+  AND (len(definition) > 0 OR len(other_contexts) > 0)
+  AND canonical_name <> research_entity_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1790,6 +1867,7 @@ QUERIES: dict[str, callable] = {
     "sessionization": q_sessionization,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "event_window_counts": q_event_window_counts,
+    "kb_validate_filter": q_kb_validate_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -1832,4 +1910,5 @@ ORACLES: dict[str, str] = {
     "sessionization": SQL_SESSIONIZATION,
     "ann_lsh_bucket": _sql_ann_lsh_bucket(),
     "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
+    "kb_validate_filter": SQL_KB_VALIDATE_FILTER,
 }
