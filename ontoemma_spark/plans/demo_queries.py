@@ -1746,7 +1746,153 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
-# 40. kb_validate_filter — P2/P3 validation + P7/P8/P9 ingest filters
+# 40. kb_json_roundtrip — S1/S2: dump → load round trip
+def q_kb_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: build a KB from part rows, dump_kb_json (single-object
+    collect-to-driver format, the reference's _json_dump shape), load it
+    back with the real loader, emit entities + per-entity edge counts
+    (the loader's '<s>' default applies to NULL definitions only —
+    empty strings round-trip verbatim)."""
+    from ontoemma_spark.sources.kb_json import dump_kb_json, load_kb_json
+
+    rows = _fixture_parts(spark, sf_dir)
+    ents = spark.createDataFrame(
+        [
+            (
+                f"KBJ:{r['p_partkey']:04d}",
+                r["p_name"],
+                [r["p_name"], r["p_name"].upper()],
+                (f"def {r['p_name']}" if r["p_partkey"] % 2 == 0 else ""),
+                [],
+                None,
+                [],
+                None,
+            )
+            for r in rows
+        ],
+        "research_entity_id string, canonical_name string, aliases array<string>,"
+        " definition string, source_urls array<string>, category string,"
+        " other_contexts array<string>,"
+        " additional_details map<string,array<string>>",
+    )
+    edges = spark.createDataFrame(
+        [
+            (f"KBJ:{r['p_partkey']:04d}", f"KBJ:{r['p_partkey'] - 1:04d}", "is_a", False, None)
+            for r in rows
+            if r["p_partkey"] >= 1
+        ],
+        "subject_id string, object_id string, relation_type string,"
+        " symmetric boolean, labels array<string>",
+    )
+    path = os.path.join(_fixture_dir(sf_dir), "fixture_kb.json")
+    dump_kb_json(ents, edges, "fixture", path)
+    ents2, edges2 = load_kb_json(spark, path)
+    deg = edges2.groupBy(F.col("subject_id").alias("research_entity_id")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    return (
+        ents2.join(deg, "research_entity_id", "left")
+        .select(
+            "research_entity_id",
+            "canonical_name",
+            F.array_join("aliases", "|").alias("aliases_joined"),
+            "definition",
+            F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
+        )
+    )
+
+
+SQL_KB_JSON_ROUNDTRIP = f"""
+SELECT 'KBJ:' || lpad(CAST(p_partkey AS VARCHAR), 4, '0') AS research_entity_id,
+       p_name AS canonical_name,
+       p_name || '|' || upper(p_name) AS aliases_joined,
+       CASE WHEN p_partkey % 2 = 0 THEN 'def ' || p_name ELSE '' END AS definition,
+       CAST(CASE WHEN p_partkey >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_out
+FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+# 41. mesh_load — S6: MeSH ASCII record parser
+def q_mesh_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: serialize part rows as MeSH *NEWRECORD blocks (UI/MH/ENTRY/
+    MS), parse with the real record parser (sources/obo.py load_mesh —
+    kb_load_refactor.py:246-285 semantics)."""
+    from ontoemma_spark.sources.obo import load_mesh
+
+    rows = _fixture_parts(spark, sf_dir)
+    blocks = []
+    for r in rows:
+        k, name = r["p_partkey"], r["p_name"]
+        blocks.append("*NEWRECORD")
+        blocks.append(f"UI = D{k:06d}")
+        blocks.append(f"MH = {name}")
+        blocks.append(f"ENTRY = {name} entry|T047|NON|EQV")
+        if k % 2 == 0:
+            blocks.append(f"MS = mesh def of {name}")
+        blocks.append("")
+    path = os.path.join(_fixture_dir(sf_dir), "fixture.mesh")
+    with open(path, "w") as f:
+        f.write("\n".join(blocks))
+    ents = load_mesh(spark, path)
+    return ents.select(
+        "research_entity_id",
+        "canonical_name",
+        F.array_join("aliases", "|").alias("aliases_joined"),
+        "definition",
+    )
+
+
+SQL_MESH_LOAD = f"""
+SELECT 'MSH:D' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS research_entity_id,
+       p_name AS canonical_name,
+       p_name || '|' || p_name || ' entry' AS aliases_joined,
+       CASE WHEN p_partkey % 2 = 0 THEN 'mesh def of ' || p_name ELSE '' END AS definition
+FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+# 42. dbpedia_load — S7: distributed N-Triples parser
+def q_dbpedia_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: serialize part rows as N-Triples (rdfs:label ×2, abstract on
+    even keys, one non-en label that must be dropped), parse with the
+    DISTRIBUTED line parser (sources/dbpedia.py — unlike the reference's
+    driver-side rdflib, this scales to full DBpedia dumps)."""
+    from ontoemma_spark.sources.dbpedia import load_dbpedia_ntriples
+
+    rows = _fixture_parts(spark, sf_dir)
+    lines = []
+    for r in rows:
+        k, name = r["p_partkey"], r["p_name"]
+        subj = f"<http://dbpedia.org/resource/P{k:04d}>"
+        label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+        abstract = "<http://dbpedia.org/ontology/abstract>"
+        lines.append(f'{subj} {label} "{name}"@en .')
+        lines.append(f'{subj} {label} "{name} (page)"@en .')
+        lines.append(f'{subj} {label} "{name} fr"@fr .')  # dropped: lang filter
+        if k % 2 == 0:
+            lines.append(f'{subj} {abstract} "abstract of {name}"@en .')
+    path = os.path.join(_fixture_dir(sf_dir), "fixture.nt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ents = load_dbpedia_ntriples(spark, path)
+    return ents.select(
+        "research_entity_id",
+        "canonical_name",
+        F.array_join("aliases", "|").alias("aliases_joined"),
+        "definition",
+    )
+
+
+SQL_DBPEDIA_LOAD = f"""
+SELECT 'DBP:P' || lpad(CAST(p_partkey AS VARCHAR), 4, '0') AS research_entity_id,
+       p_name AS canonical_name,
+       p_name || '|' || p_name || ' (page)' AS aliases_joined,
+       CASE WHEN p_partkey % 2 = 0 THEN 'abstract of ' || p_name ELSE '' END AS definition
+FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+# 43. kb_validate_filter — P2/P3 validation + P7/P8/P9 ingest filters
 def q_kb_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation + ingest-filter chain (P2, P7, P8, P9) over an entity
     table constructed deterministically from `customer`: empty names are
@@ -1868,6 +2014,9 @@ QUERIES: dict[str, callable] = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "event_window_counts": q_event_window_counts,
     "kb_validate_filter": q_kb_validate_filter,
+    "kb_json_roundtrip": q_kb_json_roundtrip,
+    "mesh_load": q_mesh_load,
+    "dbpedia_load": q_dbpedia_load,
 }
 
 ORACLES: dict[str, str] = {
@@ -1911,4 +2060,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_bucket": _sql_ann_lsh_bucket(),
     "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
     "kb_validate_filter": SQL_KB_VALIDATE_FILTER,
+    "kb_json_roundtrip": SQL_KB_JSON_ROUNDTRIP,
+    "mesh_load": SQL_MESH_LOAD,
+    "dbpedia_load": SQL_DBPEDIA_LOAD,
 }
