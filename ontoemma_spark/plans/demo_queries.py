@@ -1892,6 +1892,156 @@ FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
 """
 
 
+# 43a. training_jsonlines_roundtrip — S16 sink → S10 load
+def q_training_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16/S10: enrich deterministic pairs with entity structs, write
+    training jsonlines with the real sink, load with the real loader,
+    emit (s_id, t_id, label, names)."""
+    from ontoemma_spark.sources.alignment import (
+        load_alignment_jsonlines,
+        write_training_jsonlines,
+    )
+
+    rows = _fixture_parts(spark, sf_dir)
+    pairs = spark.createDataFrame(
+        [
+            (
+                float(r["p_partkey"] % 2),
+                {"research_entity_id": f"S:{r['p_partkey']:04d}",
+                 "canonical_name": r["p_name"]},
+                {"research_entity_id": f"T:{r['p_partkey']:04d}",
+                 "canonical_name": r["p_name"] + " target"},
+            )
+            for r in rows
+        ],
+        "label double,"
+        " source_ent struct<research_entity_id:string,canonical_name:string>,"
+        " target_ent struct<research_entity_id:string,canonical_name:string>",
+    )
+    path = os.path.join(_fixture_dir(sf_dir), "fixture_train_jsonl")
+    write_training_jsonlines(pairs, path)
+    back = load_alignment_jsonlines(spark, path)
+    return back.select(
+        "s_id", "t_id", F.col("label").cast("double").alias("label"),
+        F.col("source_ent.canonical_name").alias("s_name"),
+        F.col("target_ent.canonical_name").alias("t_name"),
+    )
+
+
+SQL_TRAINING_JSONLINES_ROUNDTRIP = f"""
+SELECT 'S:' || lpad(CAST(p_partkey AS VARCHAR), 4, '0') AS s_id,
+       'T:' || lpad(CAST(p_partkey AS VARCHAR), 4, '0') AS t_id,
+       CAST(p_partkey % 2 AS DOUBLE) AS label,
+       p_name AS s_name,
+       p_name || ' target' AS t_name
+FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
+# 43b. relation_classes — J5/P1: explode → broadcast join → re-nest
+def q_relation_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: derive per-entity par/chd/sib/syn neighbor-NAME lists from an
+    edge table (kb_utils_refactor.py:225-243 stores names, not ids) —
+    the explode→broadcast-join→collect_set re-nest plan."""
+    from ontoemma_spark.operators.normalize import derive_relation_classes
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < _FIXTURE_KEY_MAX)
+    ents = part.select(
+        F.concat(F.lit("E:"), F.col("p_partkey").cast("string")).alias(
+            "research_entity_id"
+        ),
+        F.col("p_name").alias("canonical_name"),
+    )
+    edges = part.filter(F.col("p_partkey") >= 1).select(
+        F.concat(F.lit("E:"), F.col("p_partkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("E:"), (F.col("p_partkey") - 1).cast("string")).alias(
+            "object_id"
+        ),
+        F.when(F.col("p_partkey") % 3 == 0, "PAR")
+        .when(F.col("p_partkey") % 3 == 1, "CHD")
+        .otherwise("SY")
+        .alias("relation_type"),
+    )
+    out = derive_relation_classes(ents, edges)
+    return out.select(
+        "research_entity_id",
+        F.array_join("par_relations", "|").alias("par_joined"),
+        F.array_join("chd_relations", "|").alias("chd_joined"),
+        F.array_join("syn_relations", "|").alias("syn_joined"),
+        F.array_join("sib_relations", "|").alias("sib_joined"),
+    )
+
+
+SQL_RELATION_CLASSES = f"""
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}),
+nbr AS (
+  SELECT a.p_partkey,
+         CASE WHEN a.p_partkey % 3 = 0 THEN 'PAR'
+              WHEN a.p_partkey % 3 = 1 THEN 'CHD' ELSE 'SY' END AS rel,
+         b.p_name AS nbr_name
+  FROM p a JOIN p b ON b.p_partkey = a.p_partkey - 1
+  WHERE a.p_partkey >= 1
+)
+SELECT 'E:' || CAST(p.p_partkey AS VARCHAR) AS research_entity_id,
+       coalesce((SELECT nbr_name FROM nbr WHERE nbr.p_partkey = p.p_partkey AND rel = 'PAR'), '') AS par_joined,
+       coalesce((SELECT nbr_name FROM nbr WHERE nbr.p_partkey = p.p_partkey AND rel = 'CHD'), '') AS chd_joined,
+       coalesce((SELECT nbr_name FROM nbr WHERE nbr.p_partkey = p.p_partkey AND rel = 'SY'), '') AS syn_joined,
+       '' AS sib_joined
+FROM p
+"""
+
+
+# 43c. umls_definitions — S14/J9/A7: MRDEF join + concat onto entities
+def q_umls_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/A7: serialize part rows as MRCONSO + MRDEF fixtures, run the
+    real RRF scan → collapse → AUI-join definitions chain
+    (extract_training_data_from_umls.py:209-227): every definition text
+    for an entity's atoms concatenated sorted with ' '."""
+    from ontoemma_spark.sources.umls import (
+        collapse_concepts,
+        extract_concepts,
+        extract_definitions,
+    )
+
+    rows = _fixture_parts(spark, sf_dir)
+    conso, mrdef = [], []
+    for r in rows:
+        k, name = r["p_partkey"], r["p_name"]
+        # two atoms per concept (PT + SY) → two AUIs, one entity
+        conso.append(f"C{k:04d}|ENG|P|L{k}|PF|S{k}|Y|A{2*k:05d}||||GO|PT|G{k:04d}|{name}|0|N||")
+        conso.append(f"C{k:04d}|ENG|P|L{k}s|PF|S{k}s|Y|A{2*k+1:05d}||||GO|SY|G{k:04d}|{name} syn|0|N||")
+        if k % 2 == 0:
+            mrdef.append(f"C{k:04d}|A{2*k:05d}|AT{k}||GO|def a {name}|N||")
+        if k % 4 == 0:
+            mrdef.append(f"C{k:04d}|A{2*k+1:05d}|AT{k}b||GO|def b {name}|N||")
+    d = _fixture_dir(sf_dir)
+    with open(os.path.join(d, "fx_MRCONSO.RRF"), "w") as f:
+        f.write("\n".join(conso) + "\n")
+    with open(os.path.join(d, "fx_MRDEF.RRF"), "w") as f:
+        f.write("\n".join(mrdef) + "\n")
+    ents = collapse_concepts(
+        extract_concepts(spark, os.path.join(d, "fx_MRCONSO.RRF"))
+    )
+    with_defs = extract_definitions(ents, spark, os.path.join(d, "fx_MRDEF.RRF"))
+    return with_defs.select(
+        "research_entity_id",
+        "canonical_name",
+        F.array_join("aliases", "|").alias("aliases_joined"),
+        "definition",
+    )
+
+
+SQL_UMLS_DEFINITIONS = f"""
+SELECT 'GO:G' || lpad(CAST(p_partkey AS VARCHAR), 4, '0') AS research_entity_id,
+       p_name AS canonical_name,
+       lower(p_name) || '|' || lower(p_name) || ' syn' AS aliases_joined,
+       CASE WHEN p_partkey % 4 = 0 THEN 'def a ' || p_name || ' def b ' || p_name
+            WHEN p_partkey % 2 = 0 THEN 'def a ' || p_name
+            ELSE '' END AS definition
+FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
+"""
+
+
 # 43. kb_validate_filter — P2/P3 validation + P7/P8/P9 ingest filters
 def q_kb_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation + ingest-filter chain (P2, P7, P8, P9) over an entity
@@ -2017,6 +2167,9 @@ QUERIES: dict[str, callable] = {
     "kb_json_roundtrip": q_kb_json_roundtrip,
     "mesh_load": q_mesh_load,
     "dbpedia_load": q_dbpedia_load,
+    "training_jsonlines_roundtrip": q_training_jsonlines_roundtrip,
+    "relation_classes": q_relation_classes,
+    "umls_definitions": q_umls_definitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -2063,4 +2216,7 @@ ORACLES: dict[str, str] = {
     "kb_json_roundtrip": SQL_KB_JSON_ROUNDTRIP,
     "mesh_load": SQL_MESH_LOAD,
     "dbpedia_load": SQL_DBPEDIA_LOAD,
+    "training_jsonlines_roundtrip": SQL_TRAINING_JSONLINES_ROUNDTRIP,
+    "relation_classes": SQL_RELATION_CLASSES,
+    "umls_definitions": SQL_UMLS_DEFINITIONS,
 }
