@@ -2042,6 +2042,135 @@ FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX}
 """
 
 
+# 43d. pair_features — J4 + the SQL-expressible engineered features
+def q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engineered-feature join (J4: featurize_pairs broadcast
+    rehydration) with 10 of the 32 features hash-checked against SQL —
+    name equality/token/set variants, NUL-padded char-4/5-gram jaccard,
+    alias overlap, acronym cross-overlap, definition token jaccard with
+    the -1.0 empty-set quirk, and wiki-entity overlap/jaccard from
+    additional_details. Target names are mutated deterministically so
+    every feature takes multiple values (reversed token order separates
+    list- from set-equality; a 'zq' suffix separates grams)."""
+    from ontoemma_spark.operators.features import entity_feature_table, featurize_pairs
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < _FIXTURE_KEY_MAX * 4)
+    k = F.col("p_partkey")
+    first_tok = F.element_at(F.split("p_name", " "), 1)
+    t_name = (
+        F.when(k % 7 == 0, F.concat_ws(" ", F.reverse(F.split("p_name", " "))))
+        .when(k % 5 == 0, F.col("p_name"))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" zq")))
+    )
+
+    def ent(side: str):
+        name = F.col("p_name") if side == "s" else t_name
+        definition = (
+            F.when(k % 3 == 0, F.lit("")).otherwise(F.col("p_name"))
+            if side == "s"
+            else F.when(k % 4 == 0, F.col("p_name")).otherwise(F.lit(""))
+        )
+        wiki_mod = 2 if side == "s" else 3
+        return part.select(
+            F.concat(F.lit(f"{side.upper()}:"), k.cast("string")).alias(
+                "research_entity_id"
+            ),
+            name.alias("canonical_name"),
+            F.array(name).alias("aliases"),
+            definition.alias("definition"),
+            F.array().cast("array<string>").alias("source_urls"),
+            F.lit(None).cast("string").alias("category"),
+            F.array().cast("array<string>").alias("other_contexts"),
+            F.create_map(
+                F.lit("wiki_entities"),
+                F.when(k % wiki_mod == 0, F.array(first_tok)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            ).alias("additional_details"),
+        )
+
+    pairs = part.select(
+        F.concat(F.lit("S:"), k.cast("string")).alias("s_id"),
+        F.concat(F.lit("T:"), k.cast("string")).alias("t_id"),
+    )
+    feats = featurize_pairs(pairs, entity_feature_table(ent("s")), entity_feature_table(ent("t")))
+    keep = [
+        "has_same_canonical_name",
+        "has_same_canonical_name_tokens",
+        "has_same_canonical_name_token_set",
+        "name_char_4gram_jaccard",
+        "name_char_5gram_jaccard",
+        "has_alias_in_common",
+        "has_same_acronym",
+        "definition_token_jaccard",
+        "has_same_wiki_entity",
+        "wiki_entity_jaccard",
+    ]
+    return feats.select(
+        "s_id", "t_id", *[F.round(F.col(c), 6).alias(c) for c in keep]
+    )
+
+
+def _sql_grams(expr: str, n: int) -> str:
+    pad = f"repeat(chr(0), {n - 1})"
+    padded = f"({pad} || {expr} || {pad})"
+    return (
+        f"list_distinct([substr({padded}, i, {n}) "
+        f"for i in range(1, len({expr}) + {n})])"
+    )
+
+
+def _sql_set_jac(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN len({a}) > 0 AND len({b}) > 0 "
+        f"THEN len(list_intersect({a}, {b})) / "
+        f"len(list_distinct(list_concat({a}, {b}))) ELSE -1.0 END"
+    )
+
+
+SQL_PAIR_FEATURES = f"""
+WITH base AS (
+  SELECT p_partkey AS k, p_name AS s_name,
+         CASE WHEN p_partkey % 7 = 0
+              THEN array_to_string(list_reverse(str_split(p_name, ' ')), ' ')
+              WHEN p_partkey % 5 = 0 THEN p_name
+              ELSE p_name || ' zq' END AS t_name,
+         CASE WHEN p_partkey % 3 = 0 THEN '' ELSE p_name END AS s_def,
+         CASE WHEN p_partkey % 4 = 0 THEN p_name ELSE '' END AS t_def,
+         CASE WHEN p_partkey % 2 = 0 THEN [str_split(p_name, ' ')[1]]
+              ELSE []::VARCHAR[] END AS s_wiki,
+         CASE WHEN p_partkey % 3 = 0 THEN [str_split(p_name, ' ')[1]]
+              ELSE []::VARCHAR[] END AS t_wiki
+  FROM part WHERE p_partkey < {_FIXTURE_KEY_MAX * 4}
+), f AS (
+  SELECT k, s_name, t_name, s_def, t_def, s_wiki, t_wiki,
+         str_split(s_name, ' ') AS s_toks, str_split(t_name, ' ') AS t_toks,
+         array_to_string([substr(x, 1, 1) for x in str_split(s_name, ' ')], '') AS s_acr,
+         array_to_string([substr(x, 1, 1) for x in str_split(t_name, ' ')], '') AS t_acr
+  FROM base
+)
+SELECT 'S:' || CAST(k AS VARCHAR) AS s_id,
+       'T:' || CAST(k AS VARCHAR) AS t_id,
+       CAST(s_name = t_name AS DOUBLE) AS has_same_canonical_name,
+       CAST(s_toks = t_toks AS DOUBLE) AS has_same_canonical_name_tokens,
+       CAST(list_sort(list_distinct(s_toks)) = list_sort(list_distinct(t_toks))
+            AS DOUBLE) AS has_same_canonical_name_token_set,
+       round({_sql_set_jac(_sql_grams('s_name', 4), _sql_grams('t_name', 4))}, 6)
+           AS name_char_4gram_jaccard,
+       round({_sql_set_jac(_sql_grams('s_name', 5), _sql_grams('t_name', 5))}, 6)
+           AS name_char_5gram_jaccard,
+       CAST(s_name = t_name AS DOUBLE) AS has_alias_in_common,
+       CAST(s_acr = t_acr OR s_acr = t_name OR s_name = t_acr AS DOUBLE)
+           AS has_same_acronym,
+       round({_sql_set_jac("list_filter(list_distinct(str_split(s_def, ' ')), x -> len(x) > 0)",
+                           "list_filter(list_distinct(str_split(t_def, ' ')), x -> len(x) > 0)")}, 6)
+           AS definition_token_jaccard,
+       CAST(len(list_intersect(s_wiki, t_wiki)) > 0 AS DOUBLE) AS has_same_wiki_entity,
+       round({_sql_set_jac('s_wiki', 't_wiki')}, 6) AS wiki_entity_jaccard
+FROM f
+"""
+
+
 # 43. kb_validate_filter — P2/P3 validation + P7/P8/P9 ingest filters
 def q_kb_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation + ingest-filter chain (P2, P7, P8, P9) over an entity
@@ -2170,6 +2299,7 @@ QUERIES: dict[str, callable] = {
     "training_jsonlines_roundtrip": q_training_jsonlines_roundtrip,
     "relation_classes": q_relation_classes,
     "umls_definitions": q_umls_definitions,
+    "pair_features": q_pair_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -2219,4 +2349,5 @@ ORACLES: dict[str, str] = {
     "training_jsonlines_roundtrip": SQL_TRAINING_JSONLINES_ROUNDTRIP,
     "relation_classes": SQL_RELATION_CLASSES,
     "umls_definitions": SQL_UMLS_DEFINITIONS,
+    "pair_features": SQL_PAIR_FEATURES,
 }
