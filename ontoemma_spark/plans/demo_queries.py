@@ -2171,6 +2171,46 @@ FROM f
 """
 
 
+# 43e. lr_scores — M2: native sigmoid scoring over pair features
+_LR_DEMO_WEIGHTS = {
+    "has_same_canonical_name": 2.0,
+    "has_same_canonical_name_token_set": 1.5,
+    "name_char_4gram_jaccard": 1.2,
+    "name_char_5gram_jaccard": 0.8,
+    "has_alias_in_common": 0.6,
+    "has_same_acronym": 0.4,
+    "definition_token_jaccard": 0.9,
+    "has_same_wiki_entity": 0.5,
+    "wiki_entity_jaccard": 0.7,
+}
+_LR_DEMO_BIAS = -1.5
+
+
+def q_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: LRModel.score_pairs — sigmoid(b + Σ w·f) as a native column
+    expression (scoring.py:29-38, the 10^12-pair hot path: zero Python)
+    — over the hash-checked pair features with pinned demo weights."""
+    from ontoemma_spark.operators.scoring import LRModel
+
+    feats = q_pair_features(spark, sf_dir)
+    model = LRModel(weights=_LR_DEMO_WEIGHTS, bias=_LR_DEMO_BIAS)
+    return model.score_pairs(feats).select(
+        "s_id", "t_id", F.round("score", 6).alias("score")
+    )
+
+
+def _sql_lr_scores() -> str:
+    z = " + ".join(
+        f"({w!r} * {name})" for name, w in _LR_DEMO_WEIGHTS.items()
+    )
+    return f"""
+WITH pf AS ({SQL_PAIR_FEATURES})
+SELECT s_id, t_id,
+       round(1.0 / (1.0 + exp(-({_LR_DEMO_BIAS!r} + {z}))), 6) AS score
+FROM pf
+"""
+
+
 # 43. kb_validate_filter — P2/P3 validation + P7/P8/P9 ingest filters
 def q_kb_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation + ingest-filter chain (P2, P7, P8, P9) over an entity
@@ -2300,6 +2340,7 @@ QUERIES: dict[str, callable] = {
     "relation_classes": q_relation_classes,
     "umls_definitions": q_umls_definitions,
     "pair_features": q_pair_features,
+    "lr_scores": q_lr_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -2350,4 +2391,5 @@ ORACLES: dict[str, str] = {
     "relation_classes": SQL_RELATION_CLASSES,
     "umls_definitions": SQL_UMLS_DEFINITIONS,
     "pair_features": SQL_PAIR_FEATURES,
+    "lr_scores": _sql_lr_scores(),
 }
