@@ -236,3 +236,31 @@ def test_shingle_array_short_text(spark):
     df = spark.createDataFrame([("a",), ("a b",), ("a b c",)], "text string")
     got = [r["v"] for r in df.select(shingle_array("text", 3).alias("v")).collect()]
     assert got == [[], [], ["a b c"]]
+
+
+def test_corrupt_media_payloads_fall_back(spark):
+    """Truncated/corrupt payloads with valid magic bytes must not kill
+    the Arrow batch: they fall back to the sha pseudo-feature flagged
+    decoded=false with a corrupt_ format tag."""
+    from ontoemma_spark.media import codecs
+
+    import numpy as np
+
+    good = codecs.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    rows = [
+        ("ok", "image", good, "application/octet-stream", None, None),
+        ("trunc_bmp", "image", good[:20], "application/octet-stream", None, None),
+        ("trunc_png", "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,
+         "application/octet-stream", None, None),
+        ("bad_wav", "audio", b"RIFF\x00\x00\x00\x00WAVEjunk",
+         "application/octet-stream", None, None),
+    ]
+    from ontoemma_spark.operators.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats["ok"]["decoded"] is True
+    for mid in ("trunc_bmp", "trunc_png", "bad_wav"):
+        assert feats[mid]["decoded"] is False, mid
+        assert feats[mid]["format"].startswith("corrupt_"), feats[mid]["format"]
+        assert len(feats[mid]["feature"]) == 8  # sha fallback

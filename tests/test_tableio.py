@@ -87,3 +87,31 @@ def test_iceberg_raises_clear_error_without_catalog(spark):
 def test_unknown_format_rejected():
     with pytest.raises(ValueError, match="unknown table format"):
         tableio.resolve_format("delta")
+
+
+def test_bucketed_table_incremental_append(spark):
+    """Incremental mode with table_format=bucketed_table: the delta
+    extract appends via insertInto, downstream recomputes, and the KG
+    equals a fresh full run — the same contract the parquet path has."""
+    pages20 = datagen.synthetic_pages(spark, n_pages=20)
+    pages30 = datagen.synthetic_pages(spark, n_pages=30)
+    kb, _ = datagen.synthetic_kb(spark, "KB", n_entities=30)
+
+    inc_dir = tempfile.mkdtemp(prefix="tio_inc_")
+    fresh_dir = tempfile.mkdtemp(prefix="tio_incf_")
+    m1 = run_pipeline(spark, pages20, kb, inc_dir, table_format="bucketed_table")
+    m2 = run_pipeline(spark, pages30, kb, inc_dir, incremental=True,
+                      table_format="bucketed_table")
+    m3 = run_pipeline(spark, pages30, kb, fresh_dir, table_format="bucketed_table")
+    try:
+        assert m2["stages"]["extract"]["metrics"]["pages"] == 30
+        assert (m2["stages"]["materialize"]["metrics"]
+                == m3["stages"]["materialize"]["metrics"])
+        inc = tableio.read_stage(spark, m2["stages"]["materialize"])
+        fresh = tableio.read_stage(spark, m3["stages"]["materialize"])
+        assert _edge_set(inc) == _edge_set(fresh)
+    finally:
+        for man in (m2, m3):
+            for stage in man["stages"].values():
+                if "table" in stage:
+                    spark.sql(f"DROP TABLE IF EXISTS {stage['table']}")
