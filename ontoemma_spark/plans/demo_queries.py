@@ -1216,6 +1216,8 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontoemma_spark.extract.triples import extract_triples
     from ontoemma_spark.operators.components import connected_components
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     pages = docs.select(
@@ -1226,7 +1228,11 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, 4), F.lit("."),
         ).alias("text"),
     )
-    triples = extract_triples(pages)
+    # triples feed the mention table, both final KG joins, and (through
+    # align) many candidate/feature scans — persist the (3-rows-per-doc)
+    # extract output so the regex extraction runs once, the same role
+    # the extract checkpoint plays in the real pipeline.
+    triples = extract_triples(pages).persist(StorageLevel.MEMORY_AND_DISK)
 
     # KB: the document vocabulary as entities
     kb = (
@@ -1257,7 +1263,8 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<string>").alias("other_contexts"),
             F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kb = kb.persist(StorageLevel.MEMORY_AND_DISK)
     links = align(mentions, kb).alignment
     canon = connected_components(links.select("s_id", "t_id"), src="s_id", dst="t_id")
     subj_map = F.broadcast(canon.select(
