@@ -2219,6 +2219,50 @@ FROM pf
 
 
 # 43. kb_validate_filter — P2/P3 validation + P7/P8/P9 ingest filters
+def q_edge_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: validate_edges over an edge table constructed from orders —
+    every 9th row loses its relation_type, every 13th its object —
+    returning the surviving edges plus the quarantine count as a column
+    (both sides of the split are pinned by one result)."""
+    from ontoemma_spark.sources.kb_json import validate_edges
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("subject_id"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("C:"), F.col("o_custkey").cast("string")))
+        .alias("object_id"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("placed_by"))
+        .alias("relation_type"),
+        F.lit(False).alias("symmetric"),
+        F.lit(None).cast("array<string>").alias("labels"),
+    )
+    ok, bad = validate_edges(edges)
+    n_bad = bad.count()
+    return ok.select(
+        "subject_id", "object_id", "relation_type",
+        F.lit(n_bad).cast("bigint").alias("n_quarantined"),
+    )
+
+
+SQL_EDGE_VALIDATE = """
+WITH e AS (
+  SELECT 'O:' || CAST(o_orderkey AS VARCHAR) AS subject_id,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE 'C:' || CAST(o_custkey AS VARCHAR) END AS object_id,
+         CASE WHEN o_orderkey % 9 = 0 THEN NULL ELSE 'placed_by' END AS relation_type
+  FROM orders
+)
+SELECT subject_id, object_id, relation_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM e
+        WHERE relation_type IS NULL OR subject_id IS NULL OR object_id IS NULL)
+           AS n_quarantined
+FROM e
+WHERE relation_type IS NOT NULL AND subject_id IS NOT NULL AND object_id IS NOT NULL
+"""
+
+
 def q_kb_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validation + ingest-filter chain (P2, P7, P8, P9) over an entity
     table constructed deterministically from `customer`: empty names are
@@ -2348,6 +2392,7 @@ QUERIES: dict[str, callable] = {
     "umls_definitions": q_umls_definitions,
     "pair_features": q_pair_features,
     "lr_scores": q_lr_scores,
+    "edge_validate": q_edge_validate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2399,4 +2444,5 @@ ORACLES: dict[str, str] = {
     "umls_definitions": SQL_UMLS_DEFINITIONS,
     "pair_features": SQL_PAIR_FEATURES,
     "lr_scores": _sql_lr_scores(),
+    "edge_validate": SQL_EDGE_VALIDATE,
 }
