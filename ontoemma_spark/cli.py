@@ -127,24 +127,28 @@ def run_align(
     s_ents = load_kb_any(spark, source)
     t_ents = load_kb_any(spark, target)
 
-    if model_type == "none":
-        # reference behavior without a model: string-equivalence matches
-        # only, thresholded candidate scores are not model-calibrated
-        result = align(s_ents, t_ents, model=None, strategy=strategy,
-                       threshold=threshold)
-        alignment = result.alignment
-    elif strategy == "modh-exact":
+    if strategy == "modh-exact":
         # faithful MODH needs the KB entity-load order (the reference
-        # indexes its cost matrix by kb.get_entity_index)
+        # indexes its cost matrix by kb.get_entity_index). Checked BEFORE
+        # the model_type branch: `-p none -a modh-exact` is a valid
+        # argparse combo and used to crash in align() with an unknown-
+        # strategy error (ADVICE r2) — with no model the cost matrix is
+        # built from the default-calibrated scores align() falls back to.
         from ontoemma_spark.operators.assignment import modified_hungarian_alignment
 
-        result = align(s_ents, t_ents, model=load_model(model_type, model_path),
-                       strategy="all", threshold=0.0)
+        model = None if model_type == "none" else load_model(model_type, model_path)
+        result = align(s_ents, t_ents, model=model, strategy="all", threshold=0.0)
         s_order = [r[0] for r in s_ents.select("research_entity_id").collect()]
         t_order = [r[0] for r in t_ents.select("research_entity_id").collect()]
         alignment = modified_hungarian_alignment(
             result.scores, s_order, t_order, threshold=threshold
         )
+    elif model_type == "none":
+        # reference behavior without a model: string-equivalence matches
+        # only, thresholded candidate scores are not model-calibrated
+        result = align(s_ents, t_ents, model=None, strategy=strategy,
+                       threshold=threshold)
+        alignment = result.alignment
     else:
         result = align(s_ents, t_ents, model=load_model(model_type, model_path),
                        strategy=strategy, threshold=threshold)

@@ -56,10 +56,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine (desc, id tiebreak)."""
+    """Exact top-k by cosine (desc, id tiebreak).
+
+    orderBy().limit(k) plans TakeOrderedAndProject — every partition
+    keeps only its local top-k, fully parallel. (The previous global
+    row_number window funneled the whole table through one task; the
+    residual rank window below runs over ≤k rows only.)"""
     scored = cosine_scores_vs_query(embeddings, query_vec, id_col, vec_col)
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def _hyperplane(dim: int, seed: int) -> list[float]:
@@ -116,5 +122,6 @@ def lsh_bucket_topk(
     At 10^12 rows the bucket column becomes the table's partition key so
     the probe prunes partitions instead of scanning."""
     scored = lsh_bucket_candidates(embeddings, query_vec, num_planes, id_col, vec_col)
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return top.withColumn("rank", F.row_number().over(w))

@@ -412,9 +412,15 @@ def ngram_jaccard_pairs_broadcast(
     if max_index_rows is not None:
         entries = postings_df.select(F.sum(F.size("doc_ids"))).first()[0] or 0
         if entries > max_index_rows:
-            # the oversized index never reaches the driver
+            # the oversized index never reaches the driver. The fallback
+            # plans recompute from `docs` and never read the cached
+            # shingles, so the persist above would be a pure leak in a
+            # long-lived session — release it before returning (ADVICE r2).
             if _fallback is not None:
-                return _fallback(postings_df)
+                out = _fallback(postings_df)
+                sh.unpersist()
+                return out
+            sh.unpersist()
             return ngram_jaccard_pairs_prefix(
                 docs, text_col=text_col, id_col=id_col, w=w,
                 min_jaccard=min_jaccard,

@@ -859,7 +859,7 @@ def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.col("total_value").cast("double").alias("total_value"),
+        F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
     )
 
 
@@ -2304,10 +2304,13 @@ def q_kb_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid, _quarantine = validate_entities(ents)
     kept = filter_named_entities(filter_has_definition_or_context(valid))
     out = sample_aliases(kept, max_aliases=2, max_len=10)
+    # NOTE: the driver's result canonicalizer (pandas sort + hash) cannot
+    # handle list-typed cells, so the aliases array is serialized to a
+    # '|'-joined string on BOTH sides of the oracle pair.
     return out.select(
         "research_entity_id",
         "canonical_name",
-        "aliases",
+        F.array_join("aliases", "|").alias("aliases"),
         F.length("definition").cast("bigint").alias("def_len"),
         F.size("other_contexts").cast("bigint").alias("n_contexts"),
     )
@@ -2328,7 +2331,7 @@ WITH ents AS (
   FROM customer
 )
 SELECT research_entity_id, canonical_name,
-       list_filter(aliases, a -> len(a) <= 10)[1:2] AS aliases,
+       array_to_string(list_filter(aliases, a -> len(a) <= 10)[1:2], '|') AS aliases,
        CAST(len(definition) AS BIGINT) AS def_len,
        CAST(len(other_contexts) AS BIGINT) AS n_contexts
 FROM ents

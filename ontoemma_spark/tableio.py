@@ -47,9 +47,16 @@ def resolve_format(fmt: str | None) -> str:
 
 
 def _table_ident(out_dir: str, stage: str) -> str:
-    # deterministic per (out_dir, stage) so resume finds the same table
+    # deterministic per (out_dir, stage) so resume finds the same table.
+    # The slug alone is lossy (re.sub maps /tmp/run-1 and /tmp/run_1 to
+    # the same name, and overwrite-mode saveAsTable would silently
+    # clobber the other run) — a short hash of the RAW out_dir makes the
+    # ident collision-free while staying deterministic.
+    import hashlib
+
     slug = re.sub(r"[^A-Za-z0-9_]", "_", out_dir.strip("/"))
-    return f"kg_{slug}_{stage}"
+    h = hashlib.sha1(out_dir.encode()).hexdigest()[:8]
+    return f"kg_{slug}_{h}_{stage}"
 
 
 def write_stage(
@@ -74,6 +81,9 @@ def write_stage(
                 "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
             )
             out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            # recorded so append_stage can re-derive the partition column
+            entry["bucket_col"] = bucket_col
+            entry["n_buckets"] = n_buckets
         else:
             out = df
             out.write.mode("overwrite").parquet(path)
@@ -120,7 +130,21 @@ def append_stage(df: DataFrame, entry: dict) -> None:
     write; on Iceberg this commits a new snapshot)."""
     fmt = entry.get("format", "parquet")
     if fmt == "parquet":
-        df.write.mode("append").parquet(entry["path"])
+        # a bucket-partitioned stage must keep its layout on append —
+        # re-derive the partition column exactly as write_stage did
+        # (appending unpartitioned rows would read back bucket=null).
+        if entry.get("bucket_col") and "bucket" not in df.columns:
+            df = df.withColumn(
+                "bucket",
+                F.pmod(
+                    F.xxhash64(F.col(entry["bucket_col"])),
+                    F.lit(entry.get("n_buckets", 64)),
+                ),
+            )
+        if "bucket" in df.columns:
+            df.write.mode("append").partitionBy("bucket").parquet(entry["path"])
+        else:
+            df.write.mode("append").parquet(entry["path"])
     elif fmt == "bucketed_table":
         df.write.mode("append").insertInto(entry["table"])
     else:  # iceberg

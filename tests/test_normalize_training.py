@@ -88,6 +88,63 @@ def test_easy_negatives_exclude_gold(spark):
     assert ("s1", "t1") not in got and ("s2", "t2") not in got
 
 
+def test_easy_negatives_matches_python_spec(spark):
+    """Pins the deterministic index-sample semantics against a pure-Python
+    reimplementation of the same draw sequence (xxhash64 draws mod T over
+    the sorted-dense-indexed target table)."""
+    from pyspark.sql import functions as F
+
+    pos = spark.createDataFrame(
+        [("s1", "t03"), ("s2", "t07"), ("s3", "t01")], "s_id string, t_id string"
+    )
+    t = spark.createDataFrame(
+        [(f"t{i:02d}",) for i in range(40)], "research_entity_id string"
+    )
+    per_positive = 2
+    got = {(r["s_id"], r["t_id"]) for r in easy_negatives(pos, t, per_positive).collect()}
+
+    # python spec: same hashes via Spark's xxhash64 evaluated as literals
+    t_sorted = sorted(f"t{i:02d}" for i in range(40))
+    t_count = len(t_sorted)
+    m = min(t_count, 4 * per_positive + 16)
+    gold = {("s1", "t03"), ("s2", "t07"), ("s3", "t01")}
+    hash_rows = spark.range(1).select(
+        *[
+            F.abs(F.xxhash64(F.lit(s), F.lit(i))).alias(f"{s}_{i}")
+            for s in ("s1", "s2", "s3")
+            for i in range(m)
+        ]
+    ).collect()[0]
+    expected = set()
+    for s in ("s1", "s2", "s3"):
+        seen, picks = {}, []
+        for i in range(m):
+            idx = hash_rows[f"{s}_{i}"] % t_count
+            if idx not in seen:
+                seen[idx] = i
+        order = sorted(((i, t_sorted[idx]) for idx, i in seen.items()))
+        for _, tid in order:
+            if (s, tid) not in gold and len(picks) < per_positive:
+                picks.append(tid)
+        expected |= {(s, tid) for tid in picks}
+    assert got == expected
+
+
+def test_easy_negatives_full_coverage_on_tiny_kb(spark):
+    """When T is tiny the cyclic-enumeration path guarantees k survivors
+    for every source with ≥k non-gold targets — and never emits gold."""
+    pos = spark.createDataFrame(
+        [("s1", "t1"), ("s1", "t2"), ("s2", "t3")], "s_id string, t_id string"
+    )
+    t = spark.createDataFrame([(f"t{i}",) for i in range(5)], "research_entity_id string")
+    rows = easy_negatives(pos, t, per_positive=3).collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["s_id"], set()).add(r["t_id"])
+    assert len(by_s["s1"]) == 3 and by_s["s1"].isdisjoint({"t1", "t2"})
+    assert len(by_s["s2"]) == 3 and "t3" not in by_s["s2"]
+
+
 def test_definition_tfidf_cosine(spark):
     s = spark.createDataFrame(
         [("S:1", "a", ["a"], "cardiac muscle necrosis", [], None, [], None),

@@ -126,6 +126,33 @@ def test_ann_lsh_bucket_is_narrow_and_python_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_ann_topk_plans_take_ordered(spark):
+    """orderBy().limit(k) must plan TakeOrderedAndProject (per-partition
+    local top-k), not a global single-task row_number window."""
+    from ontoemma_spark.operators.ann import brute_force_topk, lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(i % 7 - 3) / 3.0 for i in range(64)]
+    for fn in (brute_force_topk, lsh_bucket_topk):
+        plan = _plan(fn(emb, q, k=5))
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_easy_negatives_no_cartesian(spark):
+    """The index-sample rewrite must never plan a cartesian product
+    (the r1 crossJoin was the repo's one scale-killer)."""
+    from ontoemma_spark.operators.training import easy_negatives
+
+    pos = spark.createDataFrame(
+        [(f"s{i}", f"t{i}") for i in range(50)], "s_id string, t_id string"
+    )
+    t = spark.createDataFrame(
+        [(f"t{i}",) for i in range(2000)], "research_entity_id string"
+    )
+    plan = _plan(easy_negatives(pos, t, per_positive=2))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_event_window_counts_single_exchange(spark):
     from ontoemma_spark.streaming.events import windowed_event_counts
 
