@@ -389,28 +389,140 @@ def snowball_stem(word: str) -> str:  # noqa: C901 - the spec is a rulebook
     return w.replace("Y", "y")
 
 
-_LEMMA_RULES = [
-    ("ies", "y"), ("sses", "ss"), ("xes", "x"), ("ches", "ch"), ("shes", "sh"),
-    ("men", "man"), ("s", ""),
-]
+# WordNet noun-mode lemmatization (F8 second half). The reference calls
+# WordNetLemmatizer().lemmatize(token) with the DEFAULT pos='n'
+# (EngineeredFeatureGenerator.py:30,98-104), so only the NOUN machinery
+# matters: morphy = exception list lookup, then the noun morphological
+# substitutions, filtered against the lemma index. The index is not
+# embeddable, so the rules below encode its effect with guards:
+# exceptions first (subset of the public WordNet noun.exc — the
+# irregular English plurals plus the Latin/Greek plurals that dominate
+# biomedical ontology names), then the morphy substitutions longest-
+# suffix-first, with the -ves rule whitelisted (morphy's index filter
+# is what stops "curves"→"curf"; the whitelist plays that role).
 
 _LEMMA_EXCEPTIONS = {
-    "is": "is", "as": "as", "was": "was", "this": "this", "has": "has",
-    "does": "do", "children": "child", "feet": "foot", "teeth": "tooth",
-    "mice": "mouse", "geese": "goose", "people": "person",
+    # irregular English plurals (WordNet noun.exc, public data)
+    "children": "child", "feet": "foot", "teeth": "tooth", "mice": "mouse",
+    "geese": "goose", "men": "man", "women": "woman", "people": "person",
+    "oxen": "ox", "dice": "die", "lice": "louse", "brethren": "brother",
+    "pence": "penny",
+    # -f/-fe irregulars that also sit in noun.exc
+    "lives": "life", "wives": "wife", "knives": "knife", "leaves": "leaf",
+    "loaves": "loaf", "halves": "half", "calves": "calf", "wolves": "wolf",
+    "selves": "self", "shelves": "shelf", "thieves": "thief",
+    "sheaves": "sheaf", "scarves": "scarf", "hooves": "hoof",
+    "elves": "elf", "dwarves": "dwarf", "wharves": "wharf",
+    # Latin/Greek plurals — the class that matters for biomedical names
+    "bacteria": "bacterium", "mitochondria": "mitochondrion",
+    "nuclei": "nucleus", "fungi": "fungus", "foci": "focus",
+    "ganglia": "ganglion", "vertebrae": "vertebra", "septa": "septum",
+    "corpora": "corpus", "genera": "genus", "viscera": "viscus",
+    "lumina": "lumen", "foramina": "foramen", "stigmata": "stigma",
+    "stomata": "stoma", "criteria": "criterion", "phenomena": "phenomenon",
+    "ova": "ovum", "data": "datum", "media": "medium", "strata": "stratum",
+    "curricula": "curriculum", "spectra": "spectrum", "sera": "serum",
+    "cilia": "cilium", "flagella": "flagellum", "villi": "villus",
+    "alveoli": "alveolus", "glomeruli": "glomerulus", "bronchi": "bronchus",
+    "thrombi": "thrombus", "emboli": "embolus", "stimuli": "stimulus",
+    "radii": "radius", "humeri": "humerus", "femora": "femur",
+    "crura": "crus", "cortices": "cortex", "vortices": "vortex",
+    "vertices": "vertex", "apices": "apex", "indices": "index",
+    "matrices": "matrix", "appendices": "appendix", "cervices": "cervix",
+    "varices": "varix", "calyces": "calyx", "helices": "helix",
+    "testes": "testis", "analyses": "analysis", "diagnoses": "diagnosis",
+    "prognoses": "prognosis", "neuroses": "neurosis", "psychoses": "psychosis",
+    "stenoses": "stenosis", "thromboses": "thrombosis", "fibroses": "fibrosis",
+    "necroses": "necrosis", "sclerosis": "sclerosis", "scleroses": "sclerosis",
+    "metastases": "metastasis", "anastomoses": "anastomosis",
+    "synapses": "synapse", "hypotheses": "hypothesis", "theses": "thesis",
+    "crises": "crisis", "axes": "axis", "bases": "basis",
+    "ellipses": "ellipse", "emphases": "emphasis",
+    "genes": "gene",  # index filter keeps 'gene' ('genes' -s rule suffices,
+    # listed to keep the -es family golden tests honest)
+    "metanalyses": "metanalysis",
+    "carcinomata": "carcinoma", "adenomata": "adenoma",
+    "condylomata": "condyloma", "granulomata": "granuloma",
+    "atria": "atrium", "epithelia": "epithelium", "endothelia": "endothelium",
+    "ostia": "ostium", "labia": "labium", "ischia": "ischium",
+    "crania": "cranium", "mycelia": "mycelium", "gonia": "gonion",
+    "taxa": "taxon", "protozoa": "protozoan", "spermatozoa": "spermatozoon",
+    "aortae": "aorta", "ulnae": "ulna", "maxillae": "maxilla",
+    "patellae": "patella", "fistulae": "fistula", "bullae": "bulla",
+    "conjunctivae": "conjunctiva", "sequelae": "sequela",
+    # -us plurals the index filter resolves (the bare -s rule would
+    # otherwise yield "viruse")
+    "viruses": "virus", "fetuses": "fetus", "sinuses": "sinus",
+    "statuses": "status", "bonuses": "bonus", "censuses": "census",
+    "uteruses": "uterus", "anuses": "anus", "abscesses": "abscess",
+    "gases": "gas", "lenses": "lens", "atlases": "atlas",
+    "pelvises": "pelvis", "irises": "iris", "pubises": "pubis",
+    # -che/-ie/-oe words where the longest-suffix rule overshoots but
+    # the index filter keeps the e-final lemma
+    "aches": "ache", "headaches": "headache", "niches": "niche",
+    "mustaches": "mustache", "psyches": "psyche",
+    "movies": "movie", "calories": "calorie", "cookies": "cookie",
+    "species": "specie",  # faithful NLTK quirk: min-length valid form
+    "toes": "toe", "shoes": "shoe", "canoes": "canoe",
+    "quizzes": "quiz", "waltzes": "waltz",
+    # -oes plurals (noun.exc territory)
+    "tomatoes": "tomato", "potatoes": "potato", "heroes": "hero",
+    "echoes": "echo", "embryoes": "embryo", "torsoes": "torso",
+    # invariants morphy resolves via the index (form == lemma)
+    "series": "series", "aphides": "aphid", "lens": "lens",
 }
+
+# -men words that are singular lemmas, not plurals of -man compounds —
+# the index filter is what stops morphy turning "abdomen" into
+# "abdoman"; this blocklist plays that role.
+_MEN_SINGULARS = frozenset(
+    "abdomen regimen acumen albumen bitumen lumen semen specimen stamen "
+    "hymen cyclamen foramen limen omen ramen amen".split()
+)
+
+# morphy noun substitutions (nltk.corpus.reader.wordnet
+# MORPHOLOGICAL_SUBSTITUTIONS['n'], public), longest suffix first —
+# the stand-in for "apply all rules, keep the candidates in the lemma
+# index". Rules whose unguarded application usually loses to the plain
+# -s candidate under the index filter ("houses"→"house" not "hous",
+# "sizes"→"size" not "siz") are narrowed: -ses/-zes only fire on
+# doubled consonants (-sses/-zzes), Latin -uses live in the exception
+# table, and -ves is whitelisted by stem.
+_LEMMA_RULES = [
+    ("sses", "ss"), ("zzes", "zz"), ("ches", "ch"), ("shes", "sh"),
+    ("xes", "x"), ("ies", "y"), ("ves", "f"), ("men", "man"),
+    ("oes", "o"), ("s", ""),
+]
+
+# -ves → -f is only right when the index contains the -f form; these
+# stems are the productive cases not already in the exception table.
+_VES_STEMS = frozenset({"cal", "hal", "lea", "loa", "shea", "thie", "wol"})
 
 
 def simple_lemmatize(word: str) -> str:
-    """Noun-style lemmatization: irregular table + plural suffix rules
-    (stand-in for WordNetLemmatizer's default noun mode)."""
+    """WordNet-morphy-style noun lemmatization: exception table + noun
+    substitutions (EngineeredFeatureGenerator.py:98-104 parity target;
+    the reference lemmatizes with the default pos='n', so only noun
+    morphy applies). Deterministic, no index: guards substitute for the
+    lemma-index filter. Golden-tested per rule family in
+    tests/test_snowball.py."""
     if word in _LEMMA_EXCEPTIONS:
         return _LEMMA_EXCEPTIONS[word]
     if len(word) <= 3:
         return word
-    if word.endswith("ss") or word.endswith("us"):
+    # morphy never strips a bare -s from -ss/-us/-is words ("class",
+    # "status", "analysis" are index lemmas themselves)
+    if word.endswith("ss") or word.endswith("us") or word.endswith("is"):
         return word
     for suf, rep in _LEMMA_RULES:
-        if word.endswith(suf):
-            return word[: -len(suf)] + rep
+        if not word.endswith(suf):
+            continue
+        stem = word[: -len(suf)]
+        if suf == "ves" and stem not in _VES_STEMS:
+            continue  # "curves"→"curve" via the -s rule, not "curf"
+        if suf == "men" and (len(word) <= 5 or word in _MEN_SINGULARS):
+            continue
+        if suf == "ies" and len(word) <= 4:
+            continue  # "ties"→"tie" via the -s rule, not "ty"
+        return stem + rep
     return word

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ontoemma_spark.functions.stem import simple_lemmatize, snowball_stem
 from ontoemma_spark.functions.text import acronym, char_ngrams, tokenize
@@ -47,6 +47,29 @@ def _lemmatize_tokens_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for series in it:
         yield series.map(
             lambda toks: [simple_lemmatize(t) for t in toks] if toks is not None else None
+        )
+
+
+_NP_PARSE_TYPE = StructType(
+    [
+        StructField("root", StringType()),
+        StructField("root_words", ArrayType(StringType())),
+    ]
+)
+
+
+@pandas_udf(_NP_PARSE_TYPE)
+def _np_parse_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """F9: noun-phrase head finder over the RAW canonical name (the
+    reference parses ent['canonical_name'] with spaCy — the parse sees
+    prepositions and determiners, so it must NOT run on the
+    stopword-filtered token array)."""
+    from ontoemma_spark.functions.parse import np_parse
+
+    for series in it:
+        parsed = series.map(np_parse)
+        yield pd.DataFrame(
+            {"root": parsed.map(lambda p: p[0]), "root_words": parsed.map(lambda p: p[1])}
         )
 
 
@@ -99,13 +122,14 @@ def entity_feature_table(entities: DataFrame, id_out: str = "entity_id") -> Data
         "lemmatized_name_tokens", _lemmatize_tokens_udf("name_tokens")
     )
     # Dependency-parse root (EngineeredFeatureGenerator.py:34-44 uses
-    # spaCy): heuristic stand-in — root = last name token (English NPs
-    # are head-final), root_words = all name tokens. Deterministic.
-    df = df.withColumn(
-        # try_element_at: ANSI mode (Spark 4 default) makes element_at
-        # throw on an empty token array (stopword-only names)
-        "parse_root", F.coalesce(F.try_element_at("name_tokens", F.lit(-1)), F.lit(""))
-    ).withColumn("root_words", F.col("name_tokens"))
+    # spaCy): deterministic NP head finder (functions/parse.py) — chunk
+    # at prepositions, strip determiners, head-final within the first
+    # chunk; root_words mirrors the spaCy head set. Golden-tested
+    # against hand-derived parses of the reference fixture names
+    # (tests/test_parse_root.py).
+    df = df.withColumn("_parse", _np_parse_udf("canonical_name")).withColumn(
+        "parse_root", F.col("_parse.root")
+    ).withColumn("root_words", F.col("_parse.root_words")).drop("_parse")
     return df
 
 

@@ -2342,6 +2342,56 @@ WHERE research_entity_id IS NOT NULL AND len(research_entity_id) > 0
 """
 
 
+# 44. umls_rrf_load — S14 pipe-delimited RRF scan + P6 source filters
+def q_umls_rrf_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/P6: serialize part rows as a real 18-field pipe-delimited
+    MRCONSO.RRF (trailing '|' included), scan with read_rrf's explicit
+    schema, and apply extract_concepts' filters (LAT='ENG', SAB in
+    TRAINING_KBS, CODE<>'NOCODE' — extract_training_data_from_umls.py:
+    122-143). Corruption pattern: every 7th row is non-English, every
+    4th-mod-3 row a non-training SAB, every 11th row NOCODE — each
+    filter has rows to drop, so the oracle pins all three."""
+    from ontoemma_spark.sources.umls import extract_concepts
+
+    rows = _fixture_parts(spark, sf_dir)
+    sabs = ["GO", "HPO", "MSH", "ZZTEST"]  # ZZTEST is not a training KB
+    ttys = ["PT", "SY", "MH"]
+    lines = []
+    for r in rows:
+        k, name = r["p_partkey"], r["p_name"]
+        fields = [""] * 18
+        fields[0] = f"C{k % 20:07d}"                      # CUI
+        fields[1] = "FRE" if k % 7 == 0 else "ENG"        # LAT
+        fields[7] = f"A{k:07d}"                           # AUI
+        fields[11] = sabs[k % 4]                          # SAB
+        fields[12] = ttys[k % 3]                          # TTY
+        fields[13] = "NOCODE" if k % 11 == 0 else f"{k:05d}"  # CODE
+        fields[14] = name                                 # STR
+        lines.append("|".join(fields) + "|")
+    path = os.path.join(_fixture_dir(sf_dir), "MRCONSO.RRF")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return extract_concepts(spark, path).select(
+        "CUI", "AUI", "SAB", "TTY", "CODE", "STR"
+    )
+
+
+SQL_UMLS_RRF_LOAD = f"""
+SELECT 'C' || lpad(CAST(p_partkey % 20 AS VARCHAR), 7, '0') AS CUI,
+       'A' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS AUI,
+       CASE p_partkey % 4 WHEN 0 THEN 'GO' WHEN 1 THEN 'HPO'
+            WHEN 2 THEN 'MSH' ELSE 'ZZTEST' END AS SAB,
+       CASE p_partkey % 3 WHEN 0 THEN 'PT' WHEN 1 THEN 'SY' ELSE 'MH' END AS TTY,
+       lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS CODE,
+       p_name AS STR
+FROM part
+WHERE p_partkey < {_FIXTURE_KEY_MAX}
+  AND p_partkey % 7 <> 0      -- LAT = 'ENG'
+  AND p_partkey % 4 <> 3      -- SAB in training KBs
+  AND p_partkey % 11 <> 0     -- CODE <> 'NOCODE'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2396,6 +2446,7 @@ QUERIES: dict[str, callable] = {
     "pair_features": q_pair_features,
     "lr_scores": q_lr_scores,
     "edge_validate": q_edge_validate,
+    "umls_rrf_load": q_umls_rrf_load,
 }
 
 ORACLES: dict[str, str] = {
@@ -2448,4 +2499,5 @@ ORACLES: dict[str, str] = {
     "pair_features": SQL_PAIR_FEATURES,
     "lr_scores": _sql_lr_scores(),
     "edge_validate": SQL_EDGE_VALIDATE,
+    "umls_rrf_load": SQL_UMLS_RRF_LOAD,
 }

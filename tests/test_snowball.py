@@ -108,3 +108,93 @@ def test_snowball_idempotent_on_fixture_vocab():
 def test_porter1_still_available():
     assert porter_stem("running") == "run"
     assert porter_stem("caresses") == "caress"
+
+
+# ---------------------------------------------------------------------------
+# F8 second half: WordNet-morphy-style noun lemmatization, golden per
+# rule family (parity target: WordNetLemmatizer().lemmatize(w) — default
+# pos='n' — as called by EngineeredFeatureGenerator.py:98-104).
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from ontoemma_spark.functions.stem import simple_lemmatize
+
+
+LEMMA_GOLDEN = {
+    # irregular English plurals (noun.exc)
+    "exceptions_english": [
+        ("feet", "foot"), ("teeth", "tooth"), ("children", "child"),
+        ("mice", "mouse"), ("women", "woman"), ("men", "man"),
+        ("geese", "goose"), ("oxen", "ox"), ("lice", "louse"),
+    ],
+    # Latin/Greek plurals — the biomedical-name class (noun.exc)
+    "exceptions_latin": [
+        ("bacteria", "bacterium"), ("mitochondria", "mitochondrion"),
+        ("nuclei", "nucleus"), ("fungi", "fungus"), ("ganglia", "ganglion"),
+        ("vertebrae", "vertebra"), ("foramina", "foramen"),
+        ("diagnoses", "diagnosis"), ("analyses", "analysis"),
+        ("metastases", "metastasis"), ("stenoses", "stenosis"),
+        ("cortices", "cortex"), ("matrices", "matrix"),
+        ("appendices", "appendix"), ("alveoli", "alveolus"),
+        ("bronchi", "bronchus"), ("thrombi", "thrombus"),
+        ("villi", "villus"), ("atria", "atrium"), ("septa", "septum"),
+        ("stimuli", "stimulus"), ("criteria", "criterion"),
+    ],
+    # -sses / -ches / -shes / -xes rule families
+    "sibilant_rules": [
+        ("classes", "class"), ("processes", "process"),
+        ("abscesses", "abscess"), ("branches", "branch"),
+        ("patches", "patch"), ("approaches", "approach"),
+        ("dishes", "dish"), ("rashes", "rash"), ("boxes", "box"),
+        ("reflexes", "reflex"),
+    ],
+    # -ies → -y
+    "ies_rule": [
+        ("bodies", "body"), ("arteries", "artery"),
+        ("abnormalities", "abnormality"), ("deficiencies", "deficiency"),
+        ("anomalies", "anomaly"), ("biopsies", "biopsy"),
+    ],
+    # -ves → -f (whitelisted stems) and via exceptions
+    "ves_rule": [
+        ("calves", "calf"), ("leaves", "leaf"), ("wolves", "wolf"),
+        ("halves", "half"), ("nerves", "nerve"), ("curves", "curve"),
+        ("valves", "valve"), ("grooves", "groove"),
+    ],
+    # plain -s with the index-filter guards (e-final nouns stay e-final)
+    "s_rule": [
+        ("cells", "cell"), ("proteins", "protein"), ("houses", "house"),
+        ("causes", "cause"), ("doses", "dose"), ("responses", "response"),
+        ("sizes", "size"), ("enzymes", "enzyme"), ("muscles", "muscle"),
+        ("genes", "gene"), ("diseases", "disease"),
+    ],
+    # -us / -ss / -is lemmas are never stripped
+    "invariants": [
+        ("status", "status"), ("class", "class"), ("analysis", "analysis"),
+        ("axis", "axis"), ("virus", "virus"), ("necrosis", "necrosis"),
+        ("lens", "lens"),
+    ],
+    # -us plurals via the exception table (index filter effect)
+    "us_plurals": [
+        ("viruses", "virus"), ("fetuses", "fetus"), ("sinuses", "sinus"),
+        ("statuses", "status"), ("gases", "gas"), ("lenses", "lens"),
+    ],
+    # -oes plurals
+    "oes_rule": [("tomatoes", "tomato"), ("potatoes", "potato"), ("heroes", "hero")],
+    # -men → -man
+    "men_rule": [("workmen", "workman"), ("abdomen", "abdomen")],
+}
+
+
+@pytest.mark.parametrize("family", sorted(LEMMA_GOLDEN))
+def test_lemmatize_golden_family(family):
+    for word, lemma in LEMMA_GOLDEN[family]:
+        assert simple_lemmatize(word) == lemma, (word, simple_lemmatize(word), lemma)
+
+
+def test_lemmatize_deterministic_and_idempotent_on_lemmas():
+    for fam in LEMMA_GOLDEN.values():
+        for _, lemma in fam:
+            # lemmatizing a lemma must not change it further (except the
+            # documented 'specie' quirk which is not in the table)
+            assert simple_lemmatize(simple_lemmatize(lemma)) == simple_lemmatize(lemma)
