@@ -35,6 +35,10 @@ EXTENDED = [
     "ann_lsh_bucket",
     "nn_scores",
     "kg_pipeline",
+    # round 3: the featurize→score hot path (10^12 pairs at real scale)
+    # gets a trend line like everything else (VERDICT r2 item 7)
+    "pair_features",
+    "lr_scores",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

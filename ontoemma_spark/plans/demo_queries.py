@@ -1249,42 +1249,17 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
         )
     )
-    mentions = (
-        triples.select(F.col("subj").alias("name"))
-        .union(triples.select(F.col("obj").alias("name")))
-        .distinct()
-        .select(
-            F.concat(F.lit("MENTION:"), F.col("name")).alias("research_entity_id"),
-            F.col("name").alias("canonical_name"),
-            F.array(F.col("name")).alias("aliases"),
-            F.lit("").alias("definition"),
-            F.array().cast("array<string>").alias("source_urls"),
-            F.lit(None).cast("string").alias("category"),
-            F.array().cast("array<string>").alias("other_contexts"),
-            F.lit(None).cast("map<string,array<string>>").alias("additional_details"),
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # stages 2-4 run through the SAME module code as pipeline.run_pipeline
+    # (mention_entities / align / connected_components /
+    # canonical_edge_rewrite) — the in-memory variant differs only in
+    # skipping the checkpoint writes, so the two paths cannot drift.
+    from ontoemma_spark.pipeline import canonical_edge_rewrite, mention_entities
+
+    mentions = mention_entities(triples).persist(StorageLevel.MEMORY_AND_DISK)
     kb = kb.persist(StorageLevel.MEMORY_AND_DISK)
     links = align(mentions, kb).alignment
     canon = connected_components(links.select("s_id", "t_id"), src="s_id", dst="t_id")
-    subj_map = F.broadcast(canon.select(
-        F.regexp_replace("node", "^MENTION:", "").alias("subj"),
-        F.col("component").alias("subj_canon"),
-    ).filter(~F.col("subj").startswith("KB:")))
-    obj_map = F.broadcast(canon.select(
-        F.regexp_replace("node", "^MENTION:", "").alias("obj"),
-        F.col("component").alias("obj_canon"),
-    ).filter(~F.col("obj").startswith("KB:")))
-    return (
-        triples.join(subj_map, "subj", "left")
-        .join(obj_map, "obj", "left")
-        .select(
-            F.coalesce("subj_canon", F.concat(F.lit("MENTION:"), F.col("subj"))).alias("subject_id"),
-            F.col("pred").alias("relation_type"),
-            F.coalesce("obj_canon", F.concat(F.lit("MENTION:"), F.col("obj"))).alias("object_id"),
-        )
-        .distinct()
-    )
+    return canonical_edge_rewrite(triples, canon).distinct()
 
 
 # ---------------------------------------------------------------------------
