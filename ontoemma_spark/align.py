@@ -91,6 +91,37 @@ def align(
         .join(t_named, "t_id", "left_semi")
     )
     from ontoemma_spark.operators.scoring_nn import NN_PAIR_FEATURES, MLPModel
+    from ontoemma_spark.operators.siamese import SiameseScorer, score_pairs_siamese
+
+    if isinstance(model, SiameseScorer):
+        # full siamese BiLSTM/char-CNN scorer (reference architecture,
+        # ontoemma_model.py:73-164): hydrate names/aliases/definitions
+        # via broadcast (KB-sized), compute the 32 engineered features
+        # natively, then run the Arrow-batched numpy forward pass — the
+        # compatibility path for reference-trained weights
+        # (SiameseScorer.from_allennlp_state).
+        def _text_side(ents: DataFrame, p: str) -> DataFrame:
+            return ents.select(
+                F.col("research_entity_id").alias(f"{p}_id"),
+                F.col("canonical_name").alias(f"{p}_name"),
+                F.coalesce(F.col("aliases"), F.array().cast("array<string>")).alias(
+                    f"{p}_aliases"
+                ),
+                F.coalesce(F.col("definition"), F.lit("")).alias(f"{p}_def"),
+            )
+
+        featurized = featurize_pairs(
+            to_score.select("s_id", "t_id"),
+            entity_feature_table(s_entities),
+            entity_feature_table(t_entities),
+        )
+        hydrated = featurized.join(
+            F.broadcast(_text_side(s_entities, "s")), "s_id"
+        ).join(F.broadcast(_text_side(t_entities, "t")), "t_id")
+        model_scores = score_pairs_siamese(hydrated, model)
+        scores = equiv.select("s_id", "t_id", "score").unionByName(model_scores)
+        alignment = apply_alignment_strategy(scores, strategy, threshold)
+        return AlignmentResult(cands, equiv, scores, alignment)
 
     if isinstance(model, MLPModel) and list(model.feature_names) == NN_PAIR_FEATURES:
         # NN pair scorer (reference _align_nn, OntoEmma.py:737,766-797):
