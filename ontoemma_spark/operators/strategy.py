@@ -68,11 +68,18 @@ def greedy_one_to_one_alignment(
         ranked = remaining.withColumn("rs", F.row_number().over(ws)).withColumn(
             "rt", F.row_number().over(wt)
         )
-        mutual = ranked.filter((F.col("rs") == 1) & (F.col("rt") == 1)).drop("rs", "rt")
+        # column order is NOT stable across rounds: the using-column
+        # anti-joins below move their key to the front, so round 2's
+        # `remaining` has columns [t_id, s_id, score] — select by name
+        # before the union (positional union swapped s/t for every
+        # round after the first; caught by the modh_greedy oracle row).
+        mutual = ranked.filter((F.col("rs") == 1) & (F.col("rt") == 1)).select(
+            *scores.columns
+        )
         mutual = mutual.localCheckpoint(eager=True)
         if mutual.isEmpty():
             break
-        matched = mutual if matched is None else matched.union(mutual)
+        matched = mutual if matched is None else matched.unionByName(mutual)
         remaining = (
             remaining.join(mutual.select("s_id").distinct(), "s_id", "left_anti")
             .join(mutual.select("t_id").distinct(), "t_id", "left_anti")

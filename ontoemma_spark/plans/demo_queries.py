@@ -2367,6 +2367,127 @@ WHERE p_partkey < {_FIXTURE_KEY_MAX}
 """
 
 
+# 45. remaining_entities — E1: the string-equiv short-circuit anti-join
+def q_remaining_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 (OntoEmma.py:536-538): source entities NOT matched by string
+    equivalence — the anti-join that keeps exact matches out of the
+    model-scoring stage. Runs the real string_equiv_alignment +
+    remaining_after over part-derived KBs (name + a per-row unique
+    brand alias, so only name collisions match)."""
+    from ontoemma_spark.operators.string_equiv import (
+        remaining_after,
+        string_equiv_alignment,
+    )
+
+    part = _t(spark, sf_dir, "part")
+
+    def ents(pred, prefix: str) -> DataFrame:
+        return part.filter(pred).select(
+            F.concat(F.lit(prefix), F.col("p_partkey").cast("string")).alias(
+                "research_entity_id"
+            ),
+            F.col("p_name").alias("canonical_name"),
+            F.array(
+                F.col("p_name"),
+                F.concat(F.col("p_brand"), F.lit("#"), F.col("p_partkey").cast("string")),
+            ).alias("aliases"),
+        )
+
+    s = ents((F.col("p_partkey") % 2 == 0) & (F.col("p_partkey") < 200), "S:")
+    t = ents(F.col("p_partkey") % 2 == 1, "T:")
+    matched = string_equiv_alignment(s, t)
+    return remaining_after(s, matched, "s_id").select("research_entity_id")
+
+
+SQL_REMAINING_ENTITIES = """
+WITH s AS (
+  SELECT 'S:' || CAST(p_partkey AS VARCHAR) AS research_entity_id,
+         translate(lower(p_name), '_-', ' ') AS n_name,
+         translate(lower(p_brand || '#' || CAST(p_partkey AS VARCHAR)), '_-', ' ') AS n_brand
+  FROM part WHERE p_partkey % 2 = 0 AND p_partkey < 200
+), t AS (
+  SELECT translate(lower(p_name), '_-', ' ') AS n FROM part WHERE p_partkey % 2 = 1
+  UNION
+  SELECT translate(lower(p_brand || '#' || CAST(p_partkey AS VARCHAR)), '_-', ' ')
+  FROM part WHERE p_partkey % 2 = 1
+)
+SELECT research_entity_id FROM s
+WHERE n_name NOT IN (SELECT n FROM t) AND n_brand NOT IN (SELECT n FROM t)
+"""
+
+
+# 46. global_sort_topk — O1: the alignment sink's global score ordering
+def q_global_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 (OntoEmma.py:962-963): global sort by score desc with explicit
+    deterministic tiebreak — the alignment TSV sink's ordering contract,
+    pinned by materializing the global rank. orderBy().limit() plans
+    TakeOrderedAndProject (per-partition local top-k); the rank window
+    then runs over 100 rows only."""
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_orderkey").cast("bigint").alias("s_id"),
+        F.col("o_totalprice").cast("double").alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), "s_id").limit(100)
+    w = Window.orderBy(F.desc("score"), "s_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "s_id", F.round("score", 2).alias("score")
+    )
+
+
+SQL_GLOBAL_SORT_TOPK = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+       CAST(o_orderkey AS BIGINT) AS s_id,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS score
+FROM orders
+ORDER BY rank
+LIMIT 100
+"""
+
+
+# 47. modh_greedy — G6 scale variant: iterative mutual-best matching
+def q_modh_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 distributed variant (strategy.py greedy_one_to_one_alignment):
+    deterministic mutual-best rounds over a PATH-GRAPH score fixture
+    with strictly decreasing weights — each round matches exactly one
+    pair (the worst case for the loop), and the final matching has the
+    closed form {(2k, 2k+1)}, which is what the SQL twin selects. This
+    hash-checks the iterative algorithm itself, not just one round."""
+    from ontoemma_spark.operators.strategy import greedy_one_to_one_alignment
+
+    part = _t(spark, sf_dir, "part")
+    ks = part.filter(F.col("p_partkey") < 12).select(
+        F.col("p_partkey").cast("bigint").alias("k")
+    )
+    a_edges = ks.select(
+        (F.col("k") * 2).alias("s_id"),
+        (F.col("k") * 2 + 1).alias("t_id"),
+        (F.lit(1.0) / (F.col("k") * 4 + 1)).alias("score"),
+    )
+    b_edges = ks.select(
+        (F.col("k") * 2 + 2).alias("s_id"),
+        (F.col("k") * 2 + 1).alias("t_id"),
+        (F.lit(1.0) / (F.col("k") * 4 + 3)).alias("score"),
+    )
+    scores = a_edges.unionByName(b_edges).select(
+        F.col("s_id").cast("string"), F.col("t_id").cast("string"), "score"
+    )
+    out = greedy_one_to_one_alignment(scores, threshold=0.0)
+    return out.select(
+        F.col("s_id").cast("bigint"),
+        F.col("t_id").cast("bigint"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_MODH_GREEDY = """
+SELECT CAST(p_partkey * 2 AS BIGINT) AS s_id,
+       CAST(p_partkey * 2 + 1 AS BIGINT) AS t_id,
+       round(1.0 / (p_partkey * 4 + 1), 6) AS score
+FROM part WHERE p_partkey < 12
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2422,6 +2543,9 @@ QUERIES: dict[str, callable] = {
     "lr_scores": q_lr_scores,
     "edge_validate": q_edge_validate,
     "umls_rrf_load": q_umls_rrf_load,
+    "remaining_entities": q_remaining_entities,
+    "global_sort_topk": q_global_sort_topk,
+    "modh_greedy": q_modh_greedy,
 }
 
 ORACLES: dict[str, str] = {
@@ -2475,4 +2599,7 @@ ORACLES: dict[str, str] = {
     "lr_scores": _sql_lr_scores(),
     "edge_validate": SQL_EDGE_VALIDATE,
     "umls_rrf_load": SQL_UMLS_RRF_LOAD,
+    "remaining_entities": SQL_REMAINING_ENTITIES,
+    "global_sort_topk": SQL_GLOBAL_SORT_TOPK,
+    "modh_greedy": SQL_MODH_GREEDY,
 }

@@ -61,3 +61,20 @@ def test_dispatch(spark, scores):
     assert apply_alignment_strategy(scores, "modh").count() == 4
     with pytest.raises(NotImplementedError):
         apply_alignment_strategy(scores, "nope")
+
+
+def test_greedy_multi_round_preserves_column_roles(spark):
+    """Regression: the using-column anti-joins reorder columns between
+    rounds; rows matched in round 2+ must still carry (s_id, t_id) in
+    the right roles. Path graph with decreasing weights forces one
+    match per round."""
+    from ontoemma_spark.operators.strategy import greedy_one_to_one_alignment
+
+    rows = []
+    for k in range(4):
+        rows.append((f"s{2 * k}", f"t{2 * k + 1}", 1.0 / (4 * k + 1)))
+        rows.append((f"s{2 * k + 2}", f"t{2 * k + 1}", 1.0 / (4 * k + 3)))
+    scores = spark.createDataFrame(rows, "s_id string, t_id string, score double")
+    got = {(r["s_id"], r["t_id"]) for r in
+           greedy_one_to_one_alignment(scores, threshold=0.0).collect()}
+    assert got == {(f"s{2 * k}", f"t{2 * k + 1}") for k in range(4)}
