@@ -105,7 +105,21 @@ def load_model(model_type: str, model_path: str | None):
         return LRModel.from_dict(blob) if blob else DEFAULT_LR_MODEL
     if model_type == "nn":
         return MLPModel.from_dict(blob) if blob else default_nn_model()
-    raise ValueError(f"unknown model type {model_type!r} (lr | nn | none)")
+    if model_type == "siamese":
+        # full reference architecture (ontoemma_model.py:73-164). A blob
+        # is an extracted AllenNLP state_dict (param name → nested
+        # lists, produced offline from a trained model.tar.gz); without
+        # one, deterministic seeded weights stand in.
+        import numpy as np
+
+        from ontoemma_spark.operators.features import FEATURE_NAMES
+        from ontoemma_spark.operators.siamese import SiameseScorer
+
+        if blob:
+            state = {k: np.asarray(v, dtype=np.float64) for k, v in blob.items()}
+            return SiameseScorer.from_allennlp_state(state, FEATURE_NAMES)
+        return SiameseScorer.seeded(FEATURE_NAMES)
+    raise ValueError(f"unknown model type {model_type!r} (lr | nn | siamese | none)")
 
 
 def run_align(
@@ -401,7 +415,7 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("-o", "--output")
     ap.add_argument("-i", "--input", help="gold alignment for evaluation")
     ap.add_argument("-p", "--model-type", default="lr",
-                    choices=["lr", "nn", "none"])
+                    choices=["lr", "nn", "siamese", "none"])
     ap.add_argument("-m", "--model-path")
     ap.add_argument("-a", "--alignment-strategy", default="best",
                     choices=["best", "all", "modh", "modh-exact"])

@@ -73,6 +73,43 @@ def _np_parse_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         )
 
 
+_DERIVED_TEXT_TYPE = StructType(
+    [
+        StructField("stemmed", ArrayType(StringType())),
+        StructField("lemmatized", ArrayType(StringType())),
+        StructField("root", StringType()),
+        StructField("root_words", ArrayType(StringType())),
+    ]
+)
+
+
+@pandas_udf(_DERIVED_TEXT_TYPE)
+def _derived_text_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+    """Fused per-entity Python work (F8 stem + F8 lemmatize + F9 parse)
+    in ONE Arrow round trip — three separate pandas UDFs cost three
+    serialize/deserialize passes over the entity table for no reason
+    (they are independent per-row functions). Inputs: (name_tokens,
+    canonical_name)."""
+    from ontoemma_spark.functions.parse import np_parse
+
+    for toks_series, name_series in it:
+        stemmed = toks_series.map(
+            lambda toks: [snowball_stem(t) for t in toks] if toks is not None else None
+        )
+        lemmed = toks_series.map(
+            lambda toks: [simple_lemmatize(t) for t in toks] if toks is not None else None
+        )
+        parsed = name_series.map(np_parse)
+        yield pd.DataFrame(
+            {
+                "stemmed": stemmed,
+                "lemmatized": lemmed,
+                "root": parsed.map(lambda p: p[0]),
+                "root_words": parsed.map(lambda p: p[1]),
+            }
+        )
+
+
 def _detail(key: str) -> Column:
     """additional_details[key] with the legacy-misspelling patch
     (EngineeredFeatureGenerator.py:216-224): mesh_synonynms accepted,
@@ -118,18 +155,17 @@ def entity_feature_table(entities: DataFrame, id_out: str = "entity_id") -> Data
     ).withColumn(
         "dbpedia_syn_tokens", F.transform("dbpedia_synonyms", lambda s: tokenize(s))
     )
-    df = df.withColumn("stemmed_name_tokens", _stem_tokens_udf("name_tokens")).withColumn(
-        "lemmatized_name_tokens", _lemmatize_tokens_udf("name_tokens")
+    # All per-entity Python (F8 stem/lemmatize, F9 parse root — the NP
+    # head finder of functions/parse.py, golden-tested in
+    # tests/test_parse_root.py) runs in ONE fused Arrow pass.
+    df = (
+        df.withColumn("_d", _derived_text_udf("name_tokens", "canonical_name"))
+        .withColumn("stemmed_name_tokens", F.col("_d.stemmed"))
+        .withColumn("lemmatized_name_tokens", F.col("_d.lemmatized"))
+        .withColumn("parse_root", F.col("_d.root"))
+        .withColumn("root_words", F.col("_d.root_words"))
+        .drop("_d")
     )
-    # Dependency-parse root (EngineeredFeatureGenerator.py:34-44 uses
-    # spaCy): deterministic NP head finder (functions/parse.py) — chunk
-    # at prepositions, strip determiners, head-final within the first
-    # chunk; root_words mirrors the spaCy head set. Golden-tested
-    # against hand-derived parses of the reference fixture names
-    # (tests/test_parse_root.py).
-    df = df.withColumn("_parse", _np_parse_udf("canonical_name")).withColumn(
-        "parse_root", F.col("_parse.root")
-    ).withColumn("root_words", F.col("_parse.root_words")).drop("_parse")
     return df
 
 

@@ -225,3 +225,28 @@ def test_cli_empty_kb_aligns_to_zero(spark, tmp_path):
     _, m2 = run_align(spark, str(tmp_path / "e.json"), str(tmp_path / "s.json"),
                       model_type="nn")
     assert m1["alignments"] == 0 and m2["alignments"] == 0
+
+
+def test_run_align_siamese_model(spark, tmp_path):
+    """-p siamese is a working CLI path: seeded siamese scorer over the
+    JSON KBs (the from_allennlp_state blob path is covered in
+    tests/test_siamese.py)."""
+    import json
+
+    from ontoemma_spark.cli import run_align
+    from ontoemma_spark.datagen import synthetic_kb
+    from ontoemma_spark.sources.kb_json import dump_kb_json
+
+    # >= 20 entities: the IDF floor ln(20) needs N/df >= 19, so smaller
+    # KBs produce zero blocking candidates by design (emma/constants.py:27)
+    s_ents, s_edges = synthetic_kb(spark, "S", n_entities=30)
+    t_ents, t_edges = synthetic_kb(spark, "T", n_entities=30, id_offset=10)
+    s_path, t_path = str(tmp_path / "s.json"), str(tmp_path / "t.json")
+    dump_kb_json(s_ents, s_edges, "S", s_path)
+    dump_kb_json(t_ents, t_edges, "T", t_path)
+    alignment, metrics = run_align(
+        spark, s_path, t_path, model_type="siamese", strategy="all", threshold=0.0
+    )
+    assert metrics["alignments"] > 0
+    for r in alignment.select("score").collect():
+        assert 0.0 <= r["score"] <= 1.0
