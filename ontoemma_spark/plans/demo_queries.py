@@ -2488,6 +2488,72 @@ FROM part WHERE p_partkey < 12
 """
 
 
+# 48. ann_ivf_probe — the IVF cell-probe ANN scale path
+ANN_IVF_K = 8
+ANN_IVF_NPROBE = 2
+
+
+def _ann_ivf_params():
+    from ontoemma_spark.operators.ann import _hyperplane, deterministic_grid_centroids
+
+    centroids = deterministic_grid_centroids(ANN_DIM, k=ANN_IVF_K)
+    qvec = _hyperplane(ANN_DIM, seed=999)
+    q_dists = [
+        sum((qv - c) ** 2 for qv, c in zip(qvec, cent)) for cent in centroids
+    ]
+    probe = [
+        cell for cell, _ in
+        sorted(enumerate(q_dists), key=lambda x: (x[1], x[0]))[:ANN_IVF_NPROBE]
+    ]
+    return centroids, qvec, probe
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path next to LSH): every row is
+    assigned to its nearest coarse-quantizer cell (native argmin over
+    literalized centroids — zero shuffle), and exact cosine runs only
+    inside the nprobe cells nearest the query. Deterministic
+    data-independent centroids + query so the DuckDB twin replays the
+    identical distance argmin; the data-ADAPTIVE kmeans_fit quantizer
+    shares this probe machinery (pytest: tests/test_multimodal_dedup.py)."""
+    from ontoemma_spark.operators.ann import assign_cells, cosine_scores_vs_query
+
+    centroids, qvec, probe = _ann_ivf_params()
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = assign_cells(emb, centroids)
+    cands = assigned.filter(F.col("cell").isin(probe))
+    return cosine_scores_vs_query(cands, qvec).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+def _sql_ann_ivf_probe() -> str:
+    centroids, qvec, probe = _ann_ivf_params()
+    lits = ["[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]" for c in centroids]
+    # identical per-element (a-c)*(a-c) sum as the Spark zip_with/aggregate
+    dist = lambda lit: (  # noqa: E731
+        f"list_sum(list_transform(generate_series(1, {ANN_DIM}),"
+        f" i -> (e[i] - ({lit})[i]) * (e[i] - ({lit})[i])))"
+    )
+    dlist = "[" + ", ".join(dist(lit) for lit in lits) + "]"
+    qlit = "[" + ", ".join(repr(v) for v in qvec) + "]::DOUBLE[]"
+    cells = ", ".join(str(c) for c in probe)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_indexof({dlist}, list_min({dlist})) - 1 AS cell
+  FROM (SELECT vec_id, embedding FROM embeddings)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(
+         list_dot_product(e, {qlit}) /
+         (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product({qlit}, {qlit}))),
+         4) AS cos
+FROM assigned WHERE cell IN ({cells})
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2546,6 +2612,7 @@ QUERIES: dict[str, callable] = {
     "remaining_entities": q_remaining_entities,
     "global_sort_topk": q_global_sort_topk,
     "modh_greedy": q_modh_greedy,
+    "ann_ivf_probe": q_ann_ivf_probe,
 }
 
 ORACLES: dict[str, str] = {
@@ -2602,4 +2669,5 @@ ORACLES: dict[str, str] = {
     "remaining_entities": SQL_REMAINING_ENTITIES,
     "global_sort_topk": SQL_GLOBAL_SORT_TOPK,
     "modh_greedy": SQL_MODH_GREEDY,
+    "ann_ivf_probe": _sql_ann_ivf_probe(),
 }

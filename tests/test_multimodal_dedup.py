@@ -264,3 +264,45 @@ def test_corrupt_media_payloads_fall_back(spark):
         assert feats[mid]["decoded"] is False, mid
         assert feats[mid]["format"].startswith("corrupt_"), feats[mid]["format"]
         assert len(feats[mid]["feature"]) == 8  # sha fallback
+
+
+def test_kmeans_fit_and_ivf_probe(spark):
+    """IVF scale path: deterministic Lloyd's produces stable centroids;
+    the cell probe with enough nprobe recovers the brute-force top-k."""
+    from ontoemma_spark.operators.ann import (
+        assign_cells,
+        brute_force_topk,
+        ivf_probe_topk,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents_a = kmeans_fit(emb, k=4, iters=3)
+    cents_b = kmeans_fit(emb, k=4, iters=3)
+    assert cents_a == cents_b  # deterministic
+    assert len(cents_a) == 4 and len(cents_a[0]) == 64
+
+    # every row lands in exactly one cell; cells are non-trivial
+    counts = {r["cell"]: r["count"]
+              for r in assign_cells(emb, cents_a).groupBy("cell").count().collect()}
+    assert sum(counts.values()) == emb.count()
+    assert len(counts) >= 2
+
+    q = [float(i % 7 - 3) / 3.0 for i in range(64)]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()]
+    # probing ALL cells must equal brute force exactly
+    probed_all = [r["vec_id"]
+                  for r in ivf_probe_topk(emb, cents_a, q, k=5, nprobe=4).collect()]
+    assert probed_all == exact
+    # probing the nearest half must still find most of the true top-k
+    probed = {r["vec_id"] for r in ivf_probe_topk(emb, cents_a, q, k=5, nprobe=2).collect()}
+    assert len(probed & set(exact)) >= 3
+
+
+def test_assign_cells_is_narrow_and_python_free(spark):
+    from ontoemma_spark.operators.ann import assign_cells, deterministic_grid_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = assign_cells(emb, deterministic_grid_centroids(64, k=8))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
