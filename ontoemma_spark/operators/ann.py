@@ -235,3 +235,63 @@ def deterministic_grid_centroids(dim: int, k: int = 8) -> list[list[float]]:
     deployments fit kmeans_fit centroids instead (data-adaptive cells);
     the probe machinery is identical either way."""
     return [_hyperplane(dim, seed=1000 + i) for i in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the dedup-family member over
+# the embedding column: near-dup docs whose EMBEDDINGS agree, catching
+# paraphrases the lexical MinHash/SimHash/n-gram sketches miss).
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    min_cos: float = 0.95,
+    num_planes: int = 8,
+    exact: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) with id_a < id_b and cosine ≥ min_cos.
+
+    Scale path (default): rows are bucketed by their random-hyperplane
+    sign signature (narrow, deterministic planes — same machinery as
+    lsh_bucket_candidates), candidate pairs come from a SIGNATURE
+    EQUI-JOIN (only same-bucket pairs materialize — the banded-LSH
+    shape of dedup.py, never the n² product), and exact cosine rescores
+    the survivors. Recall follows the hyperplane collision bound: a
+    pair at cosine c collides with probability (1 − θ/π)^planes,
+    θ = arccos(c) — at 0.95 and 8 planes ≈ 0.56 per table; multiple
+    plane sets (different seeds) union for higher recall, like
+    MinHash bands.
+
+    exact=True is the all-pairs correctness baseline (id_a < id_b theta
+    join) — quadratic by definition; keep it off any big table.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = [_hyperplane(dim, s) for s in range(num_planes)]
+
+        def signature(vec: Column) -> Column:
+            bits = [
+                F.when(
+                    dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, "1"
+                ).otherwise("0")
+                for plane in planes
+            ]
+            return F.concat(*bits)
+
+        a = a.withColumn("sig", signature(F.col("vec_a")))
+        b = b.withColumn("sig", signature(F.col("vec_b")))
+        pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b")).drop("sig")
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos")
+    ).filter(F.col("cos") >= F.lit(float(min_cos)))

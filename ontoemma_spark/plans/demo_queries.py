@@ -2554,6 +2554,96 @@ FROM assigned WHERE cell IN ({cells})
 """
 
 
+# 49. event_dedup — exactly-once ingest dedup (batch twin of the
+# streaming dropDuplicatesWithinWatermark path)
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once bridge: the events table with every
+    5th event REPLAYED (unioned duplicate) goes through
+    dedup_event_stream (the same function the streaming path uses; on
+    batch it is the global distinct) — per-type counts must equal the
+    clean table's. tests/test_streaming.py pins streaming==batch for
+    this function; this row pins batch==SQL."""
+    from ontoemma_spark.streaming.events import dedup_event_stream
+
+    ev = _t(spark, sf_dir, "events")
+    replayed = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
+    deduped = dedup_event_stream(replayed)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+SQL_EVENT_DEDUP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+# 50. embedding_neardup — embedding-cosine near-duplicate pairs
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family member over the embedding column: the corpus is the
+    embeddings table plus a SCALED replica of every 10th vector
+    (scaling preserves cosine exactly, so each replica is a guaranteed
+    near-dup of its source at cos = 1.0); the LSH-bucketed scale path
+    (signature equi-join — same-bucket pairs only, never n²) must
+    recover exactly those pairs, since random 64-d vectors essentially
+    never reach cos ≥ 0.95. SQL twin replays the identical plane
+    signatures and bucket join."""
+    from ontoemma_spark.operators.ann import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    replicas = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(replicas)
+    out = embedding_neardup_pairs(corpus, min_cos=0.95, num_planes=ANN_LSH_PLANES)
+    return out.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    from ontoemma_spark.operators.ann import _hyperplane
+
+    planes = [_hyperplane(ANN_DIM, s) for s in range(ANN_LSH_PLANES)]
+    lits = [
+        "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]" for plane in planes
+    ]
+    sig = lambda vec: " || ".join(  # noqa: E731
+        f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN '1' ELSE '0' END)"
+        for lit in lits
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.5) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+sigs AS (SELECT vec_id, e, {sig("e")} AS s FROM corpus)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       round(
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+         4) AS cos
+FROM sigs a JOIN sigs b ON a.s = b.s AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.95
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2613,6 +2703,8 @@ QUERIES: dict[str, callable] = {
     "global_sort_topk": q_global_sort_topk,
     "modh_greedy": q_modh_greedy,
     "ann_ivf_probe": q_ann_ivf_probe,
+    "event_dedup": q_event_dedup,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2670,4 +2762,6 @@ ORACLES: dict[str, str] = {
     "global_sort_topk": SQL_GLOBAL_SORT_TOPK,
     "modh_greedy": SQL_MODH_GREEDY,
     "ann_ivf_probe": _sql_ann_ivf_probe(),
+    "event_dedup": SQL_EVENT_DEDUP,
+    "embedding_neardup": _sql_embedding_neardup(),
 }

@@ -306,3 +306,29 @@ def test_assign_cells_is_narrow_and_python_free(spark):
     plan = assign_cells(emb, deterministic_grid_centroids(64, k=8))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    """The LSH-bucketed near-dup path finds the same scaled-replica
+    pairs as the exact all-pairs baseline (scaling preserves both the
+    cosine and the sign signature, so recall is 1.0 on this corpus),
+    and never emits a sub-threshold pair."""
+    import pyspark.sql.functions as F
+
+    from ontoemma_spark.operators.ann import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    replicas = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(replicas)
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_neardup_pairs(corpus, 0.95, exact=True).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs(corpus, 0.95).collect()}
+    n_rep = replicas.count()
+    assert len(exact) == n_rep > 0
+    assert lsh == exact  # scaled replicas share the signature exactly
