@@ -2644,6 +2644,49 @@ WHERE list_dot_product(a.e, b.e) /
 """
 
 
+# 51. context_enrich — the add_context_to_kb enrichment join
+def q_context_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context enrichment (extract_training_data_from_umls.py:596-627):
+    customer-derived entities joined with a supplier-derived context
+    table on canonical name semantics — every 3rd entity has a context
+    row (with one empty string to drop), the rest keep their original
+    other_contexts. Output serializes the array for the driver hasher."""
+    from ontoemma_spark.sources.umls import add_contexts
+
+    c = _t(spark, sf_dir, "customer")
+    ents = c.select(
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias(
+            "research_entity_id"
+        ),
+        F.col("c_name").alias("canonical_name"),
+        F.array(F.lit("orig")).alias("other_contexts"),
+    )
+    ctx = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_name").alias("canonical_name"),
+        F.array(
+            F.concat(F.lit("segment "), F.col("c_mktsegment")),
+            F.lit(""),
+            F.concat(F.lit("nation "), F.col("c_nationkey").cast("string")),
+        ).alias("contexts"),
+    )
+    out = add_contexts(ents, ctx)
+    return out.select(
+        "research_entity_id",
+        "canonical_name",
+        F.array_join("other_contexts", "|").alias("contexts_joined"),
+    )
+
+
+SQL_CONTEXT_ENRICH = """
+SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS research_entity_id,
+       c_name AS canonical_name,
+       CASE WHEN c_custkey % 3 = 0
+            THEN 'segment ' || c_mktsegment || '|' || 'nation ' || CAST(c_nationkey AS VARCHAR)
+            ELSE 'orig' END AS contexts_joined
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2705,6 +2748,7 @@ QUERIES: dict[str, callable] = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "event_dedup": q_event_dedup,
     "embedding_neardup": q_embedding_neardup,
+    "context_enrich": q_context_enrich,
 }
 
 ORACLES: dict[str, str] = {
@@ -2764,4 +2808,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf_probe": _sql_ann_ivf_probe(),
     "event_dedup": SQL_EVENT_DEDUP,
     "embedding_neardup": _sql_embedding_neardup(),
+    "context_enrich": SQL_CONTEXT_ENRICH,
 }

@@ -128,3 +128,29 @@ def extract_relationships(entities: DataFrame, spark: SparkSession, mrrel_path: 
         .filter(F.col("subject_id") != F.col("object_id"))
         .distinct()
     )
+
+
+def add_contexts(entities: DataFrame, contexts: DataFrame) -> DataFrame:
+    """Context enrichment join (add_context_to_kb,
+    extract_training_data_from_umls.py:596-627): the reference loads a
+    name→contexts pickle and sets other_contexts on every entity whose
+    canonical_name matches, dropping empty strings. Relationally: a
+    broadcast left join on canonical_name (contexts tables are
+    KB-sized); entities without a context row keep their existing
+    other_contexts. contexts schema: (canonical_name, contexts
+    ARRAY<STRING>)."""
+    ctx = contexts.select(
+        "canonical_name",
+        F.filter("contexts", lambda c: c != "").alias("_new_contexts"),
+    )
+    return (
+        entities.join(F.broadcast(ctx), "canonical_name", "left")
+        .withColumn(
+            "other_contexts",
+            F.when(
+                F.col("_new_contexts").isNotNull() & (F.size("_new_contexts") > 0),
+                F.col("_new_contexts"),
+            ).otherwise(F.col("other_contexts")),
+        )
+        .drop("_new_contexts")
+    )

@@ -161,3 +161,15 @@ def test_event_window_counts_single_exchange(spark):
     # partial agg map-side, one shuffle to final agg
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_embedding_neardup_lsh_plans_equi_join(spark):
+    """The near-dup scale path must plan a signature EQUI-join (hash or
+    sort-merge), never an all-pairs nested-loop product."""
+    from ontoemma_spark.operators.ann import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs(emb, 0.95))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
