@@ -148,3 +148,75 @@ def test_sessionize_batch_matches_python(spark, events, gap):
     )
     expected = sorted(sessionize_py(rows, gap, include_open=True))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-3 properties: NP head finder, morphy lemmatizer, greedy matching
+# ---------------------------------------------------------------------------
+
+WORDS = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1, max_size=8),
+    min_size=0, max_size=8,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(WORDS)
+def test_np_parse_invariants(words):
+    """root is a token of the name (or a preposition in it); root_words
+    are sorted, deduped, and drawn from the name's tokens."""
+    from ontoemma_spark.functions.parse import np_parse
+
+    name = " ".join(words)
+    root, heads = np_parse(name)
+    toks = set(re.findall(r"[A-Za-z\d]+", name))
+    if not toks:
+        assert root == "" and heads == []
+        return
+    assert root in toks
+    assert heads == sorted(set(heads))
+    assert set(heads) <= toks
+    assert root in heads
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+               min_size=1, max_size=14))
+def test_lemmatize_invariants(word):
+    """Deterministic; never empty on non-empty input; never grows a word
+    by more than the men→man class; double application is stable for
+    every rule family (a lemma is a fixpoint or one step from it)."""
+    from ontoemma_spark.functions.stem import simple_lemmatize
+
+    a = simple_lemmatize(word)
+    assert a == simple_lemmatize(word)
+    assert a
+    assert len(a) <= len(word) + 1
+    b = simple_lemmatize(a)
+    assert simple_lemmatize(b) == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),
+    min_size=1, max_size=12, unique=True,
+))
+def test_greedy_matching_properties(spark, pairs):
+    """On any score table: the greedy result is a 1:1 MATCHING (no s or
+    t repeats), is a subset of the input, and is MAXIMAL (no remaining
+    input pair has both endpoints free)."""
+    from ontoemma_spark.operators.strategy import greedy_one_to_one_alignment
+
+    rows = [(f"s{a}", f"t{b}", 1.0 / (1 + 7 * a + 13 * b)) for a, b in pairs]
+    scores = spark.createDataFrame(rows, "s_id string, t_id string, score double")
+    got = [(r["s_id"], r["t_id"]) for r in
+           greedy_one_to_one_alignment(scores, threshold=0.0).collect()]
+    all_pairs = {(f"s{a}", f"t{b}") for a, b in pairs}
+    assert set(got) <= all_pairs
+    ss = [p[0] for p in got]
+    ts = [p[1] for p in got]
+    assert len(ss) == len(set(ss)) and len(ts) == len(set(ts))  # 1:1
+    used_s, used_t = set(ss), set(ts)
+    for s_, t_ in all_pairs:  # maximality
+        assert s_ in used_s or t_ in used_t
