@@ -34,22 +34,6 @@ from ontoemma_spark.functions.stem import simple_lemmatize, snowball_stem
 from ontoemma_spark.functions.text import acronym, char_ngrams, tokenize
 
 
-@pandas_udf(ArrayType(StringType()))
-def _stem_tokens_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for series in it:
-        yield series.map(
-            lambda toks: [snowball_stem(t) for t in toks] if toks is not None else None
-        )
-
-
-@pandas_udf(ArrayType(StringType()))
-def _lemmatize_tokens_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for series in it:
-        yield series.map(
-            lambda toks: [simple_lemmatize(t) for t in toks] if toks is not None else None
-        )
-
-
 _NP_PARSE_TYPE = StructType(
     [
         StructField("root", StringType()),

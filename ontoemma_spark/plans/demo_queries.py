@@ -2687,6 +2687,41 @@ FROM customer
 """
 
 
+# 52. observe_counts — A9: zero-cost per-stage counters via df.observe
+def q_observe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (the reference's count logging, OntoEmma.py:88,695,751 →
+    pipeline.py's df.observe manifest counters): observation metrics
+    collected DURING another action (no extra pass), returned as the
+    result row. The observed numbers are the oracle-checked values, so
+    this row pins the observe plumbing itself — input rows, surviving
+    rows, and a value sum captured on the filtered stream."""
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs_in = Observation("in")
+    obs_kept = Observation("kept")
+    observed = ev.observe(obs_in, F.count(F.lit(1)).alias("n_in"))
+    kept = observed.filter(F.col("value") > 0.5).observe(
+        obs_kept,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    kept.write.format("noop").mode("overwrite").save()  # ONE action drives both
+    row = {"n_in": obs_in.get["n_in"], **obs_kept.get}
+    return spark.createDataFrame(
+        [(int(row["n_in"]), int(row["n_kept"]), float(row["total_value"]))],
+        "n_in bigint, n_kept bigint, total_value double",
+    )
+
+
+SQL_OBSERVE_COUNTS = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_in,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(sum(value), 6) AS total_value
+FROM events WHERE value > 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2749,6 +2784,7 @@ QUERIES: dict[str, callable] = {
     "event_dedup": q_event_dedup,
     "embedding_neardup": q_embedding_neardup,
     "context_enrich": q_context_enrich,
+    "observe_counts": q_observe_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -2809,4 +2845,5 @@ ORACLES: dict[str, str] = {
     "event_dedup": SQL_EVENT_DEDUP,
     "embedding_neardup": _sql_embedding_neardup(),
     "context_enrich": SQL_CONTEXT_ENRICH,
+    "observe_counts": SQL_OBSERVE_COUNTS,
 }
