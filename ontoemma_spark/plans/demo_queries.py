@@ -2722,6 +2722,110 @@ FROM events WHERE value > 0.5
 """
 
 
+# 53. umls_pipeline — §3.3 composition: concepts → collapse →
+# definitions → cross-KB mappings, end-to-end over real RRF files
+def q_umls_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UMLS training-data extraction flow composed end-to-end
+    (extract_training_data_from_umls.py steps 1,2,4,5): a real
+    MRCONSO.RRF (same serialization as umls_rrf_load) and a real
+    MRDEF.RRF are scanned, concepts filtered (P6), collapsed to
+    entities (A6/W4), definitions joined via AUI (J9/A7), and CUI
+    mappings self-joined (J8/O3); the output is one summary row per
+    entity with its cross-KB mapping degree. The oracle recomputes the
+    whole chain relationally from part."""
+    from ontoemma_spark.sources.umls import (
+        collapse_concepts,
+        extract_concepts,
+        extract_definitions,
+        extract_mappings,
+    )
+
+    rows = _fixture_parts(spark, sf_dir)
+    sabs = ["GO", "HPO", "MSH", "ZZTEST"]
+    ttys = ["PT", "SY", "MH"]
+    conso, mrdef = [], []
+    for r in rows:
+        k, name = r["p_partkey"], r["p_name"]
+        f = [""] * 18
+        f[0] = f"C{k % 20:07d}"
+        f[1] = "FRE" if k % 7 == 0 else "ENG"
+        f[7] = f"A{k:07d}"
+        f[11] = sabs[k % 4]
+        f[12] = ttys[k % 3]
+        f[13] = "NOCODE" if k % 11 == 0 else f"{k:05d}"
+        f[14] = name
+        conso.append("|".join(f) + "|")
+        if k % 2 == 0:
+            d = [""] * 8
+            d[0] = f"C{k % 20:07d}"
+            d[1] = f"A{k:07d}"
+            d[5] = f"def of {name}"
+            mrdef.append("|".join(d) + "|")
+    fdir = _fixture_dir(sf_dir)
+    conso_path = os.path.join(fdir, "MRCONSO_pipe.RRF")
+    mrdef_path = os.path.join(fdir, "MRDEF_pipe.RRF")
+    with open(conso_path, "w") as fh:
+        fh.write("\n".join(conso) + "\n")
+    with open(mrdef_path, "w") as fh:
+        fh.write("\n".join(mrdef) + "\n")
+
+    concepts = extract_concepts(spark, conso_path)
+    entities = collapse_concepts(concepts)
+    entities = extract_definitions(entities, spark, mrdef_path)
+    mappings = extract_mappings(concepts)
+    deg = (
+        mappings.select(F.col("id1").alias("research_entity_id"))
+        .union(mappings.select(F.col("id2").alias("research_entity_id")))
+        .groupBy("research_entity_id")
+        .agg(F.count(F.lit(1)).alias("n_mappings"))
+    )
+    return (
+        entities.join(deg, "research_entity_id", "left")
+        .select(
+            "research_entity_id",
+            "canonical_name",
+            F.size("aliases").cast("bigint").alias("n_aliases"),
+            "definition",
+            F.coalesce("n_mappings", F.lit(0)).cast("bigint").alias("n_mappings"),
+        )
+    )
+
+
+SQL_UMLS_PIPELINE = f"""
+WITH atoms AS (
+  SELECT p_partkey AS k,
+         'C' || lpad(CAST(p_partkey % 20 AS VARCHAR), 7, '0') AS cui,
+         'A' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS aui,
+         CASE p_partkey % 4 WHEN 0 THEN 'GO' WHEN 1 THEN 'HPO'
+              WHEN 2 THEN 'MSH' END AS sab,
+         lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS code,
+         p_name AS str
+  FROM part
+  WHERE p_partkey < {_FIXTURE_KEY_MAX}
+    AND p_partkey % 7 <> 0 AND p_partkey % 4 <> 3 AND p_partkey % 11 <> 0
+), ents AS (
+  -- one atom per (sab, code) in this fixture → collapse is identity
+  SELECT sab || ':' || code AS research_entity_id, k, cui, aui, sab, str
+  FROM atoms
+), mappings AS (
+  SELECT a.sab || ':' || a.code AS id1, b.sab || ':' || b.code AS id2
+  FROM atoms a JOIN atoms b ON a.cui = b.cui AND a.sab < b.sab
+), deg AS (
+  SELECT research_entity_id, CAST(count(*) AS BIGINT) AS n_mappings FROM (
+    SELECT id1 AS research_entity_id FROM mappings
+    UNION ALL
+    SELECT id2 AS research_entity_id FROM mappings
+  ) GROUP BY 1
+)
+SELECT e.research_entity_id,
+       e.str AS canonical_name,
+       CAST(1 AS BIGINT) AS n_aliases,
+       CASE WHEN e.k % 2 = 0 THEN 'def of ' || e.str ELSE '' END AS definition,
+       COALESCE(d.n_mappings, 0) AS n_mappings
+FROM ents e LEFT JOIN deg d USING (research_entity_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2785,6 +2889,7 @@ QUERIES: dict[str, callable] = {
     "embedding_neardup": q_embedding_neardup,
     "context_enrich": q_context_enrich,
     "observe_counts": q_observe_counts,
+    "umls_pipeline": q_umls_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -2846,4 +2951,5 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": _sql_embedding_neardup(),
     "context_enrich": SQL_CONTEXT_ENRICH,
     "observe_counts": SQL_OBSERVE_COUNTS,
+    "umls_pipeline": SQL_UMLS_PIPELINE,
 }
