@@ -359,6 +359,36 @@ class SiameseScorer:
         decision = ff([DECISION_IN, DECISION_IN, 1], ["relu", "linear"])
         return cls(char_cnn, name_enc, def_enc, siamese, decision, feature_names)
 
+    def to_allennlp_state(self) -> dict[str, list]:
+        """Export the weights under the same AllenNLP parameter names
+        from_allennlp_state reads (nested lists — JSON-serializable), so
+        seeded models, offline-extracted reference models, and CLI -m
+        blobs all round-trip through ONE format."""
+        state: dict[str, list] = {}
+        for prefix, enc in (("name_encoder._module", self.name_encoder),
+                            ("definition_encoder._module", self.def_encoder)):
+            for layer_idx, (fwd, bwd) in enumerate(enc.layers):
+                for lstm, suffix in ((fwd, ""), (bwd, "_reverse")):
+                    state[f"{prefix}.weight_ih_l{layer_idx}{suffix}"] = lstm.w_ih.tolist()
+                    state[f"{prefix}.weight_hh_l{layer_idx}{suffix}"] = lstm.w_hh.tolist()
+                    state[f"{prefix}.bias_ih_l{layer_idx}{suffix}"] = lstm.b_ih.tolist()
+                    state[f"{prefix}.bias_hh_l{layer_idx}{suffix}"] = lstm.b_hh.tolist()
+        cnn_prefix = "name_embedder.token_embedder_token_characters._encoder._module"
+        for idx, n in enumerate(sorted(self.char_cnn.filters)):
+            W, b = self.char_cnn.filters[n]
+            # matmul layout (F, n*C) → torch conv1d layout (F, C, n)
+            F_n = W.shape[0]
+            state[f"{cnn_prefix}.conv_layer_{idx}.weight"] = (
+                W.reshape(F_n, n, CHAR_DIM).transpose(0, 2, 1).tolist()
+            )
+            state[f"{cnn_prefix}.conv_layer_{idx}.bias"] = b.tolist()
+        for prefix, ff in (("siamese_feedforward", self.siamese_ff),
+                           ("decision_feedforward", self.decision_ff)):
+            for i, (W, b, _act) in enumerate(ff.layers):
+                state[f"{prefix}._linear_layers.{i}.weight"] = W.tolist()
+                state[f"{prefix}._linear_layers.{i}.bias"] = b.tolist()
+        return state
+
     @classmethod
     def from_allennlp_state(
         cls, state: dict[str, np.ndarray], feature_names: list[str]

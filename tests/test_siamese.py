@@ -215,3 +215,17 @@ def test_align_with_siamese_scorer(spark):
     assert len(rows) > 0
     for r in rows:
         assert 0.0 <= r["score"] <= 1.0
+
+
+def test_state_export_round_trip():
+    """seeded → to_allennlp_state (JSON-safe) → from_allennlp_state
+    reproduces the forward pass bit-for-bit — one persistence format
+    for seeded, exported, and reference-extracted weights."""
+    import json
+
+    m = SiameseScorer.seeded(FEATS, seed=11)
+    blob = json.loads(json.dumps(m.to_allennlp_state()))  # through JSON
+    state = {k: np.asarray(v, dtype=np.float64) for k, v in blob.items()}
+    m2 = SiameseScorer.from_allennlp_state(state, FEATS)
+    args = _inputs(3)
+    assert np.allclose(m.forward(*args), m2.forward(*args), atol=0)
