@@ -174,7 +174,10 @@ def kmeans_fit(
     round, map-side partial agg). Only k×dim floats ever reach the
     driver. Empty cells keep their previous centroid (standard Lloyd's
     convention), so k is stable across rounds."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_fit: embeddings table is empty")
+    dim = len(first[0])
     init_rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.abs(F.xxhash64(F.col(id_col).cast("string"))), F.col(id_col))
@@ -268,7 +271,16 @@ def embedding_neardup_pairs(
     exact=True is the all-pairs correctness baseline (id_a < id_b theta
     join) — quadratic by definition; keep it off any big table.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        # empty corpus → empty pair table with the right schema (the
+        # dim probe below would otherwise crash on None)
+        return embeddings.sparkSession.createDataFrame(
+            [], schema=f"id_a {embeddings.schema[id_col].dataType.simpleString()},"
+                       f" id_b {embeddings.schema[id_col].dataType.simpleString()},"
+                       " cos double",
+        )
+    dim = len(first[0])
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )

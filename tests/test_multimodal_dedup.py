@@ -332,3 +332,19 @@ def test_embedding_neardup_exact_vs_lsh(spark):
     n_rep = replicas.count()
     assert len(exact) == n_rep > 0
     assert lsh == exact  # scaled replicas share the signature exactly
+
+
+def test_ann_empty_corpus_edges(spark):
+    """Empty-input behavior is deliberate, not accidental: near-dup on
+    an empty corpus returns an empty (id_a, id_b, cos) frame instead of
+    crashing on the dim probe; kmeans_fit refuses with a clear error."""
+    import pytest as _pytest
+
+    from ontoemma_spark.operators.ann import embedding_neardup_pairs, kmeans_fit
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = embedding_neardup_pairs(empty, 0.9)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cos"}
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=2, iters=1)
