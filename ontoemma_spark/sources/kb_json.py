@@ -70,28 +70,47 @@ def load_kb_json(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
             spark.createDataFrame([], ENTITY_SCHEMA),
             spark.createDataFrame([], EDGE_SCHEMA),
         )
+    # schema-on-read with the reference's defaults (KBEntity,
+    # kb_utils_refactor.py:14-38): a field ABSENT from the inferred
+    # struct (not just null) falls back too — form_dict(**entries)
+    # tolerates missing optional keys, so must this loader.
+    present = set(ent_el.names)
+
+    def _f(name: str, default):
+        if name in present:
+            return F.coalesce(F.col(f"e.{name}"), default)
+        return default
+
+    empty_arr = F.array().cast("array<string>")
     ents = raw.select(F.explode("entities").alias("e")).select(
         F.col("e.research_entity_id").alias("research_entity_id"),
         F.col("e.canonical_name").alias("canonical_name"),
-        F.coalesce(F.col("e.aliases"), F.array().cast("array<string>")).alias("aliases"),
-        F.coalesce(F.col("e.definition"), F.lit("<s>")).alias("definition"),
-        F.coalesce(F.col("e.source_urls"), F.array().cast("array<string>")).alias("source_urls"),
-        F.col("e.category").cast("string").alias("category"),
-        F.coalesce(F.col("e.other_contexts"), F.array().cast("array<string>")).alias(
-            "other_contexts"
-        ),
+        _f("aliases", empty_arr).alias("aliases"),
+        _f("definition", F.lit("<s>")).alias("definition"),
+        _f("source_urls", empty_arr).alias("source_urls"),
+        (F.col("e.category").cast("string") if "category" in present
+         else F.lit(None).cast("string")).alias("category"),
+        _f("other_contexts", empty_arr).alias("other_contexts"),
         _additional_details_map(raw).alias("additional_details"),
     )
     rel_el = raw.schema["relations"].dataType.elementType if "relations" in raw.schema.names else None
-    if rel_el is None or not hasattr(rel_el, "names"):
-        # empty relations list infers as array<string> — no edges
+    if rel_el is None or not hasattr(rel_el, "names") or not (
+        {"entity_ids", "relation_type"} <= set(rel_el.names)
+    ):
+        # empty relations list infers as array<string>; structs missing
+        # the required keys carry no usable edges either — no edges
         edges = spark.createDataFrame([], EDGE_SCHEMA)
     else:
+        sym = (
+            F.coalesce(F.col("r.symmetric"), F.lit(False))
+            if "symmetric" in rel_el.names
+            else F.lit(False)
+        )
         edges = raw.select(F.explode("relations").alias("r")).select(
             F.col("r.entity_ids")[0].alias("subject_id"),
             F.col("r.entity_ids")[1].alias("object_id"),
             F.col("r.relation_type").alias("relation_type"),
-            F.coalesce(F.col("r.symmetric"), F.lit(False)).alias("symmetric"),
+            sym.alias("symmetric"),
             F.lit(None).cast("array<string>").alias("labels"),
         )
     return ents, edges

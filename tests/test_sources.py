@@ -178,3 +178,28 @@ def test_umls_pipeline(spark, tmp_path):
     assert [(r["subject_id"], r["object_id"], r["relation_type"]) for r in rels.collect()] == [
         ("GO:G1", "GO:G2", "PAR")
     ]
+
+
+def test_kb_json_minimal_entities(spark, tmp_path):
+    """Schema-on-read defaults (KBEntity, kb_utils_refactor.py:14-38):
+    entities with ONLY id+name — fields absent from the inferred JSON
+    struct entirely, not just null — load with the reference defaults
+    (aliases [], definition '<s>', contexts []); relations lacking the
+    required keys yield no edges instead of an AnalysisException."""
+    import json
+
+    from ontoemma_spark.sources.kb_json import load_kb_json
+
+    p = str(tmp_path / "minimal.json")
+    with open(p, "w") as f:
+        json.dump({"name": "M",
+                   "entities": [{"research_entity_id": "E1",
+                                 "canonical_name": "only name"}],
+                   "relations": [{"relation_id": 0}]}, f)
+    ents, edges = load_kb_json(spark, p)
+    row = ents.collect()[0]
+    assert row["research_entity_id"] == "E1"
+    assert row["aliases"] == [] and row["other_contexts"] == []
+    assert row["definition"] == "<s>"
+    assert row["category"] is None
+    assert edges.count() == 0
