@@ -38,8 +38,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # node universe from the ORIGINAL edges, not the symmetrized ones:
+    # sym drops self-loops (a != b), and a node whose only edge is a
+    # self-loop must still appear as its own singleton component
+    # (caught by edge probing — it silently vanished before).
     labels = (
-        sym.select(F.col("a").alias("node"))
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)

@@ -114,3 +114,18 @@ def test_connected_components_very_long_chain_pointer_jumping(spark):
     got = connected_components(edges).collect()
     assert len(got) == 201
     assert all(r["component"] == "p000" for r in got)
+
+
+def test_cc_keeps_self_loop_only_nodes(spark):
+    """A node whose only edge is a self-loop is a singleton component —
+    it must not vanish from the labeling (regression: the symmetrized
+    edge set drops self-loops, and the node universe used to be built
+    from it)."""
+    from ontoemma_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("c", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
