@@ -55,6 +55,13 @@ def entity_tokens(
             F.array_distinct(F.concat(word_toks, gram_toks, def_toks)).alias("tokens"),
         )
         .select("entity_id", F.explode("tokens").alias("token"))
+        # a NULL entity id contributes tokens that count() then skips,
+        # producing df=0 groups and a divide-by-zero in ln(N/df + 1)
+        # (found by null probing). Invalid-id entities are the
+        # validate_entities quarantine's job; here they are simply
+        # excluded from the posting lists. Null tokens (null alias
+        # elements) are dropped for the same reason.
+        .filter(F.col("entity_id").isNotNull() & F.col("token").isNotNull())
     )
 
 

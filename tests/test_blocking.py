@@ -121,3 +121,35 @@ def test_overlapping_concepts_are_top_ranked(spark, kbs):
         if top1.get(f"SRC:SRC:{c:07d}") == f"TGT:TGT:{c:07d}"
     )
     assert hits >= 36  # ≥90% of the 40 overlapping concepts
+
+
+def test_entity_tokens_tolerates_null_ids_and_aliases(spark):
+    """Null entity ids / null alias elements must not reach the posting
+    lists: count() skips nulls, so a token contributed only by null-id
+    entities had df=0 and ln(N/df+1) divided by zero under ANSI mode
+    (regression, found by null probing through align)."""
+    from ontoemma_spark.align import align
+
+    ENT_DDL = (
+        "research_entity_id string, canonical_name string, aliases array<string>,"
+        " definition string, source_urls array<string>, category string,"
+        " other_contexts array<string>, additional_details map<string,array<string>>"
+    )
+    dirty = spark.createDataFrame(
+        [
+            ("E1", None, None, None, None, None, None, None),
+            ("E2", "real name alpha", ["ok", None, "x"], None, None, None, None, None),
+            (None, "no id", ["y"], "d", [], None, [], None),
+        ],
+        ENT_DDL,
+    )
+    good = spark.createDataFrame(
+        [(f"T{i}", f"real name alpha {i}", [f"alias {i}"], "def", [], None, [], None)
+         for i in range(25)],
+        ENT_DDL,
+    )
+    assert align(dirty, good).alignment.count() == 0  # no crash
+
+    toks = entity_tokens(dirty)
+    rows = toks.collect()
+    assert all(r["entity_id"] is not None and r["token"] is not None for r in rows)
