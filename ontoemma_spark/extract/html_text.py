@@ -73,7 +73,13 @@ def extract_text_py(html_bytes: bytes | None) -> str:
 def extract_text_col(html_col) -> Column:
     """Same spec as native JVM expressions."""
     c = F.col(html_col) if isinstance(html_col, str) else html_col
-    text = F.decode(c, "UTF-8")
+    # NOT F.decode(c, 'UTF-8'): under ANSI mode decode() THROWS on
+    # malformed bytes, and Common-Crawl HTML is full of them — the whole
+    # 10^12-page scan would die on the first bad page. cast-to-string +
+    # make_valid_utf8 substitutes U+FFFD per maximal invalid subpart,
+    # the same policy as the Python spec's errors="replace"
+    # (parity pinned in tests/test_extract.py on invalid-byte inputs).
+    text = F.make_valid_utf8(c.cast("string"))
     for pattern in _P_BLOCKS:
         text = F.regexp_replace(text, pattern, " ")
     text = F.regexp_replace(text, _P_TAG, " ")

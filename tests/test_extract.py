@@ -79,3 +79,24 @@ def test_python_twin_agrees_with_spark(spark, pages):
         for r in extract_triples(pages).collect()
     }
     assert py_triples == spark_triples
+
+
+def test_extract_text_invalid_utf8_parity(spark):
+    """Malformed UTF-8 html must not kill the scan (ANSI decode throws;
+    Common-Crawl is full of it) — and the native path must still match
+    the Python spec byte-for-byte, U+FFFD substitutions included."""
+    from ontoemma_spark.extract.html_text import extract_text_col, extract_text_py
+
+    payloads = [
+        b"\xff\xfe broken <p>but real text</p> \x80\x81",
+        b"<p>truncated multibyte \xe2\x82</p>",
+        b"\xc3\xa9 valid e-acute <b>bold</b>",
+        b"",
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i int, html binary"
+    )
+    got = {r["i"]: r["t"] for r in
+           df.select("i", extract_text_col("html").alias("t")).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == extract_text_py(p), (i, got[i], extract_text_py(p))
