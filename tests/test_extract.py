@@ -100,3 +100,11 @@ def test_extract_text_invalid_utf8_parity(spark):
            df.select("i", extract_text_col("html").alias("t")).collect()}
     for i, p in enumerate(payloads):
         assert got[i] == extract_text_py(p), (i, got[i], extract_text_py(p))
+
+    # the Arrow implementation must agree on the same invalid inputs
+    from ontoemma_spark.extract.html_text import extract_text_mapinpandas
+
+    pages = df.select(F.col("i").cast("string").alias("url"), "html")
+    arrow = {int(r["url"]): r[1] for r in extract_text_mapinpandas(pages).collect()}
+    for i, p in enumerate(payloads):
+        assert arrow[i] == extract_text_py(p), (i, arrow[i])
