@@ -480,3 +480,47 @@ def ngram_jaccard_pairs_broadcast(
             yield pd.DataFrame(out)
 
     return sh.mapInPandas(probe, schema=out_schema)
+
+
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """The dedup APPLY step: near-dup candidate pairs → duplicate
+    clusters → one canonical survivor per cluster, mapped over the full
+    corpus. This is what "deduplicate my corpus" actually means — the
+    pair emitters (LSH / n-gram jaccard / SimHash / embedding near-dup)
+    feed this to produce the kept set.
+
+    Clusters are connected components of the pair graph (transitive:
+    a~b, b~c ⇒ {a,b,c} one cluster, same closure the reference applies
+    to entity merges in kb_utils_refactor.py:340-412); the survivor is
+    the min id in the cluster.
+
+    Returns one row per input doc: (id_col, canonical_id, is_canonical).
+    `filter(is_canonical)` IS the deduplicated corpus; the non-canonical
+    rows are the removal manifest (doc → surviving twin).
+
+    Scale: CC runs on the PAIR graph only — LSH survivors, orders of
+    magnitude smaller than the corpus. The final map-back join touches
+    the corpus once on its id; the cluster-membership side is small, so
+    AQE plans it as a broadcast join at runtime.
+    """
+    from ontoemma_spark.operators.components import connected_components
+
+    cc = connected_components(pairs, src=pair_a, dst=pair_b).select(
+        F.col("node").alias(id_col), F.col("component").alias("_canon")
+    )
+    canon = F.coalesce(F.col("_canon"), F.col(id_col))
+    return (
+        docs.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            F.col(id_col),
+            canon.alias("canonical_id"),
+            (canon == F.col(id_col)).alias("is_canonical"),
+        )
+    )

@@ -679,7 +679,9 @@ _BAND_SELECTS = " UNION ALL ".join(
     for b in range(LSH_BANDS)
 )
 
-SQL_LSH_DUP_CANDIDATES = _SHINGLE_CTE + f"""
+# sig → band join → exact-jaccard rescore CTE chain, shared by the
+# candidate-pair oracle (17) and the cluster-resolution oracle (17b).
+_LSH_JAC_CTES = f"""
 , sig AS (
   SELECT doc_id, {", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(NUM_MINHASHES))}
   FROM sh GROUP BY doc_id
@@ -698,11 +700,59 @@ inter AS (
   SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
   FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
   WHERE i / (sa.n + sb.n - i) >= {JACCARD_MIN!r}
+), dup AS (
+  SELECT c.doc_a, c.doc_b, j.jaccard
+  FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 )
-SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
-       round(j.jaccard, 6) AS jaccard
-FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 """
+
+SQL_LSH_DUP_CANDIDATES = _SHINGLE_CTE + _LSH_JAC_CTES + """
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(jaccard, 6) AS jaccard
+FROM dup
+"""
+
+
+# 17b. dedup_resolve — the dedup APPLY step: pairs → clusters → survivors
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end-to-end: LSH near-dup pairs → connected-component
+    duplicate clusters → one canonical survivor (min doc_id) per
+    cluster, mapped over the FULL corpus. One row per document:
+    filter(is_canonical) is the kept set, the rest is the removal
+    manifest. CC runs on the pair graph only (LSH survivors)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_lsh_dup_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    return D.resolve_duplicate_clusters(docs, pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+        "is_canonical",
+    )
+
+
+# the duplicate-cluster closure is a recursive reachability fixpoint
+# (component = min doc reachable over symmetrized dup edges) — the same
+# generic-CC oracle pattern SQL_KG_PIPELINE uses for entity canonical ids.
+SQL_DEDUP_RESOLVE = (
+    _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _LSH_JAC_CTES
+    + """
+, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup
+  UNION
+  SELECT doc_b, doc_a FROM dup
+),
+walk AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT e.dst, w.reach FROM walk w JOIN edges e ON w.node = e.src
+),
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN cc c ON d.doc_id = c.node
+"""
+)
 
 
 # 18. simhash — per-doc 16-bit SimHash
@@ -2853,6 +2903,7 @@ QUERIES: dict[str, callable] = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_dup_candidates": q_lsh_dup_candidates,
+    "dedup_resolve": q_dedup_resolve,
     "simhash": q_simhash,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ann_cosine": q_ann_cosine,
@@ -2915,6 +2966,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "lsh_dup_candidates": SQL_LSH_DUP_CANDIDATES,
+    "dedup_resolve": SQL_DEDUP_RESOLVE,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "ann_cosine": SQL_ANN_COSINE,

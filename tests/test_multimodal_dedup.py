@@ -348,3 +348,30 @@ def test_ann_empty_corpus_edges(spark):
     assert set(out.columns) == {"id_a", "id_b", "cos"}
     with _pytest.raises(ValueError, match="empty"):
         kmeans_fit(empty, k=2, iters=1)
+
+
+def test_resolve_duplicate_clusters(spark):
+    from ontoemma_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], ["doc_id", "text"]
+    )
+    # 1~2, 2~3 (transitive chain) and 5~6; 0/4 untouched singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    res = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in resolve_duplicate_clusters(docs, pairs).collect()
+    }
+    assert len(res) == 7  # one row per input doc
+    # chain collapses transitively to min id 1
+    assert res[1] == (1, True)
+    assert res[2] == (1, False)
+    assert res[3] == (1, False)
+    assert res[5] == (5, True) and res[6] == (5, False)
+    # untouched docs are their own canonical
+    assert res[0] == (0, True) and res[4] == (4, True)
+    # the kept set is exactly the survivors
+    kept = sorted(d for d, (_, keep) in res.items() if keep)
+    assert kept == [0, 1, 4, 5]
