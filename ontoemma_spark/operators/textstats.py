@@ -133,3 +133,39 @@ def document_fingerprints(
         .groupBy("doc_id")
         .agg(F.array_join(F.array_sort(F.collect_list("h")), "|").alias("fingerprint"))
     )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over w-word
+    grams (Rae et al. 2021 §A1.1 "repetitious text" filters):
+
+      n_grams        total gram occurrences in the doc
+      dup_gram_frac  fraction of occurrences belonging to a gram that
+                     appears more than once in the doc
+      top_gram_frac  fraction taken by the single most frequent gram
+
+    High values ⇒ boilerplate / keyword-stuffed / degenerate pages —
+    the standard web-corpus cut alongside quality_scores.
+
+    Scale: two chained aggregations, both keyed BY doc_id (first with
+    gram appended) — map-side combinable, skew-free (the key always
+    contains the doc id), never wider than the corpus itself. Docs with
+    fewer than w tokens have no grams and drop out (no signal).
+    """
+    from ontoemma_spark.operators.dedup import shingle_array
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_array(text_col, w)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_grams"),
+        (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / n).alias(
+            "dup_gram_frac"
+        ),
+        (F.max("c") / n).alias("top_gram_frac"),
+    )

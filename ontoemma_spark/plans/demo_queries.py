@@ -996,6 +996,34 @@ FROM feat
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per doc, the fraction of 2-gram
+    occurrences that belong to a within-doc duplicated gram and the
+    share of the single most frequent gram. Chained doc-keyed
+    aggregations — map-side combinable, skew-free."""
+    docs = _t(spark, sf_dir, "documents")
+    out = T.repetition_scores(docs, w=SHINGLE_W)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_grams"),
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"),
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+    )
+
+
+# gram stream = the shared shingle CTE's sh0 BEFORE the DISTINCT (every
+# occurrence counts for repetition, unlike the sketch consumers)
+SQL_REPETITION_SCORES = _SHINGLE_CTE + """
+, grams AS (SELECT doc_id, shingle AS gram FROM sh0 WHERE _last IS NOT NULL),
+counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6) AS dup_gram_frac,
+       round(max(c) / sum(c), 6) AS top_gram_frac
+FROM counts GROUP BY doc_id
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.token_counts(docs).select(
@@ -2909,6 +2937,7 @@ QUERIES: dict[str, callable] = {
     "ann_cosine": q_ann_cosine,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
+    "repetition_scores": q_repetition_scores,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
@@ -2972,6 +3001,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine": SQL_ANN_COSINE,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
+    "repetition_scores": SQL_REPETITION_SCORES,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "media_meta": SQL_MEDIA_META,

@@ -375,3 +375,23 @@ def test_resolve_duplicate_clusters(spark):
     # the kept set is exactly the survivors
     kept = sorted(d for d, (_, keep) in res.items() if keep)
     assert kept == [0, 1, 4, 5]
+
+
+def test_repetition_scores_hand_computed(spark):
+    from ontoemma_spark.operators.textstats import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # grams: ab ba ab ba -> dup 1.0, top 0.5
+            (2, "w x y z"),          # all grams unique -> dup 0.0, top 1/3
+            (3, "solo"),             # < w tokens: no grams, drops out
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs, w=2).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_grams"] == 4
+    assert got[1]["dup_gram_frac"] == 1.0 and got[1]["top_gram_frac"] == 0.5
+    assert got[2]["n_grams"] == 3
+    assert got[2]["dup_gram_frac"] == 0.0
+    assert abs(got[2]["top_gram_frac"] - 1 / 3) < 1e-9
