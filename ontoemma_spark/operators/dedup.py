@@ -509,11 +509,23 @@ def resolve_duplicate_clusters(
     the corpus once on its id; the cluster-membership side is small, so
     AQE plans it as a broadcast join at runtime.
     """
+    from pyspark import StorageLevel
+
     from ontoemma_spark.operators.components import connected_components
 
-    cc = connected_components(pairs, src=pair_a, dst=pair_b).select(
-        F.col("node").alias(id_col), F.col("component").alias("_canon")
-    )
+    # CC reads the pair graph several times (symmetrized edges, the node
+    # universe, per-round message joins against the checkpointed sym) —
+    # persist so the upstream pair plan (typically the whole LSH band
+    # join) runs once, not once per consumer. connected_components
+    # materializes its labels eagerly (localCheckpoint), so the cache
+    # can be dropped before returning the (lazy) corpus map-back.
+    cached = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cc = connected_components(cached, src=pair_a, dst=pair_b).select(
+            F.col("node").alias(id_col), F.col("component").alias("_canon")
+        )
+    finally:
+        cached.unpersist()
     canon = F.coalesce(F.col("_canon"), F.col(id_col))
     return (
         docs.select(id_col)
