@@ -536,3 +536,55 @@ def resolve_duplicate_clusters(
             (canon == F.col(id_col)).alias("is_canonical"),
         )
     )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style eval-set scrub):
+    flag training docs sharing any w-word gram with a benchmark corpus.
+
+    Returns one row per doc: (doc_id, n_hit_grams, contaminated) where
+    n_hit_grams counts the doc's DISTINCT grams present in the
+    benchmark's gram set. filter(~contaminated) is the scrubbed corpus;
+    n_hit_grams supports threshold policies (e.g. drop only on ≥2 hits).
+
+    Scale: the benchmark side is eval sets — thousands of docs, a gram
+    set in the millions — so it broadcasts and the corpus-side probe is
+    a map-side semi-join: no shuffle of the 10^12-doc gram stream, and
+    the per-doc hit count aggregates map-side (doc-keyed). Set
+    broadcast_benchmark=False if the contamination set is itself
+    corpus-sized (falls back to a shuffled equi-join).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingle_array(bench_text_col, w))).alias("gram")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingle_array(text_col, w))).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    n = F.coalesce("n_hit_grams", F.lit(0))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_hit_grams"),
+            (n > 0).alias("contaminated"),
+        )
+    )

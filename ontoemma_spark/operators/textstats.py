@@ -169,3 +169,53 @@ def repetition_scores(
         ),
         (F.max("c") / n).alias("top_gram_frac"),
     )
+
+
+def source_rollup(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Host/source-level corpus signals — the aggregation behind
+    domain-level filtering (the C4/RefinedWeb pattern: drop or downweight
+    whole hosts whose pages are duplicated boilerplate or low quality).
+
+    Per source: doc count, distinct-text count, exact-duplicate rate,
+    mean quality score, and the share of docs clearing quality ≥ 0.5.
+
+    Skew: a head host can hold a huge share of a web corpus, so the
+    distinct count is computed as TWO stages keyed (source, text-hash)
+    then (source) — the first stage spreads the head host across
+    partitions and combines map-side; a single-stage countDistinct
+    would funnel every row of the head host through one task's hash set.
+    The quality means are plain partial-aggregating avgs (skew-immune).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    per_text = base.groupBy("source", "_h").agg(F.count(F.lit(1)).alias("c"))
+    text_stats = per_text.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    qual = (
+        base.join(quality_scores(docs).select("doc_id", "quality_score"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.avg("quality_score").alias("avg_quality"),
+            F.avg(
+                F.when(F.col("quality_score") >= 0.5, 1.0).otherwise(0.0)
+            ).alias("high_quality_share"),
+        )
+    )
+    return text_stats.join(qual, "source").select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (1 - F.col("n_distinct") / F.col("n_docs")).alias("dup_rate"),
+        "avg_quality",
+        "high_quality_share",
+    )

@@ -1024,6 +1024,81 @@ FROM counts GROUP BY doc_id
 """
 
 
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host/source-level rollup for domain filtering: per source, doc
+    count, exact-dup rate (two-stage skew-safe distinct), mean quality
+    and high-quality share."""
+    docs = _t(spark, sf_dir, "documents")
+    out = T.source_rollup(docs)
+    return out.select(
+        "source", "n_docs", "n_distinct",
+        F.round("dup_rate", 6).alias("dup_rate"),
+        F.round("avg_quality", 6).alias("avg_quality"),
+        F.round("high_quality_share", 6).alias("high_quality_share"),
+    )
+
+
+# quality_score is a sum of exact quarters, so cross-engine avg is
+# bit-identical; the rolled-up query composes the quality oracle as a
+# nested CTE subquery.
+SQL_SOURCE_ROLLUP = f"""
+WITH q AS ({{quality}}),
+d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+per_text AS (SELECT source, h, count(*) AS c FROM d GROUP BY source, h),
+ts AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM per_text GROUP BY source
+),
+qs AS (
+  SELECT d.source, avg(q.quality_score) AS aq,
+         avg(CASE WHEN q.quality_score >= 0.5 THEN 1.0 ELSE 0.0 END) AS hq
+  FROM d JOIN q ON d.doc_id = q.doc_id GROUP BY d.source
+)
+SELECT ts.source, ts.n_docs, ts.n_distinct,
+       round(1 - ts.n_distinct / ts.n_docs, 6) AS dup_rate,
+       round(qs.aq, 6) AS avg_quality, round(qs.hq, 6) AS high_quality_share
+FROM ts JOIN qs ON ts.source = qs.source
+"""
+SQL_SOURCE_ROLLUP = SQL_SOURCE_ROLLUP.format(quality=SQL_QUALITY_SCORES)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 5-gram with the
+    'benchmark' slice (every 50th doc, deterministic) are flagged.
+    The benchmark gram set broadcasts; the corpus-side probe is a
+    map-side semi-join + doc-keyed hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return D.contamination_hits(docs, bench, w=5).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_hit_grams",
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE = _SHINGLE_CTE + """
+, g5 AS (
+  SELECT doc_id, tok,
+         lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+         lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tok, l1, l2, l3, l4) AS gram
+  FROM g5 WHERE l4 IS NOT NULL
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS c FROM g JOIN bench USING (gram) GROUP BY g.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.token_counts(docs).select(
@@ -2938,6 +3013,8 @@ QUERIES: dict[str, callable] = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
+    "source_rollup": q_source_rollup,
+    "decontaminate": q_decontaminate,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
@@ -3002,6 +3079,8 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_scores": SQL_REPETITION_SCORES,
+    "source_rollup": SQL_SOURCE_ROLLUP,
+    "decontaminate": SQL_DECONTAMINATE,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "media_meta": SQL_MEDIA_META,

@@ -395,3 +395,50 @@ def test_repetition_scores_hand_computed(spark):
     assert got[2]["n_grams"] == 3
     assert got[2]["dup_gram_frac"] == 0.0
     assert abs(got[2]["top_gram_frac"] - 1 / 3) < 1e-9
+
+
+def test_source_rollup_hand_computed(spark):
+    from ontoemma_spark.operators.textstats import source_rollup
+
+    long_good = " ".join(f"w{i} the of and to in is it that for" for i in range(3))
+    docs = spark.createDataFrame(
+        [
+            (1, "hostA", long_good),
+            (2, "hostA", long_good),        # exact dup within hostA
+            (3, "hostA", "x y z"),          # short, low quality
+            (4, "hostB", long_good + " tail"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {r["source"]: r for r in source_rollup(docs).collect()}
+    a, b = got["hostA"], got["hostB"]
+    assert (a["n_docs"], a["n_distinct"]) == (3, 2)
+    assert abs(a["dup_rate"] - 1 / 3) < 1e-9
+    assert (b["n_docs"], b["n_distinct"], b["dup_rate"]) == (1, 1, 0.0)
+    assert 0.0 <= a["avg_quality"] <= 1.0
+    assert b["high_quality_share"] in (0.0, 1.0)
+
+
+def test_contamination_hits_hand_computed(spark):
+    from ontoemma_spark.operators.dedup import contamination_hits
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains bench 5-grams "alpha..epsilon" and "beta..zeta"
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            # shares only a 4-gram run -> no 5-gram hit
+            (2, "alpha beta gamma delta DIFFERENT words here"),
+            (3, "totally unrelated text with many more words"),
+            (4, "shrt"),  # < w tokens: no grams at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in contamination_hits(docs, bench, w=5).collect()}
+    assert len(got) == 4  # every doc present, even gram-less ones
+    assert got[1]["n_hit_grams"] == 2 and got[1]["contaminated"]
+    assert got[2]["n_hit_grams"] == 0 and not got[2]["contaminated"]
+    assert got[3]["n_hit_grams"] == 0
+    assert got[4]["n_hit_grams"] == 0 and not got[4]["contaminated"]
