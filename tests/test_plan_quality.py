@@ -173,3 +173,22 @@ def test_embedding_neardup_lsh_plans_equi_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The benchmark-gram probe must be a broadcast join (the corpus
+    gram stream never shuffles) and nothing may go cartesian."""
+    df = dq.QUERIES["decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_and_rollup_aggregate_map_side(spark):
+    """Both chained-aggregation ops must keep partial (map-side)
+    aggregation and avoid any join blowup."""
+    for name in ["repetition_scores", "source_rollup"]:
+        df = dq.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "partial_count" in plan or "partial count" in plan, name
+        assert "CartesianProduct" not in plan, name
