@@ -1099,6 +1099,150 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+# --- curation family: PII redaction / mixture sampling / packing -----------
+
+# deterministic PII injection (every 10th doc) so the redaction has
+# real hits to find — same corruption-pattern trick as edge_validate.
+_PII_SUFFIX = (
+    " contact user{id}@example.com or +1 555-000-1234 at 192.168.1.99"
+)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4 → typed placeholders) with
+    per-class hit counts; narrow regexp column math, zero shuffle."""
+    from ontoemma_spark.operators.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-000-1234 at 192.168.1.99"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_email", "n_phone", "n_ip", "text",
+    )
+
+
+# the redaction stages in order (email → phone → ip), each count taken
+# on the text as it stood BEFORE that class's replacement — mirroring
+# the operator's sequential fold.
+SQL_REDACT_PII = r"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1 555-000-1234 at 192.168.1.99'
+              ELSE text END AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phone,
+         regexp_replace(t1, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS t2
+  FROM s1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+       regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text
+FROM s2
+"""
+
+
+# source weights for the mixture-sampling demo: even-numbered sources
+# kept at 25%, odd at 90% — enough spread to prove the draw works.
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-weighted sampling: salted-md5 hex draw vs
+    the source weight's hex threshold; broadcast weights, narrow draw,
+    stable under any partitioning / resume."""
+    from ontoemma_spark.operators.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct()
+    weights = srcs.select(
+        "source",
+        F.when(
+            F.regexp_extract("source", r"(\d+)", 1).cast("int") % 2 == 0, 0.25
+        ).otherwise(0.9).alias("weight"),
+    )
+    kept = mixture_sample(docs, weights)
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH weights AS (
+  SELECT source,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 0
+              THEN 0.25 ELSE 0.9 END AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+FROM documents d JOIN weights w ON d.source = w.source
+WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < CASE WHEN w.weight >= 1.0 THEN 'zzzzzzzz'
+             ELSE printf('%08x', CAST(floor(w.weight * 4294967296) AS BIGINT)) END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token contexts, 8 explicit
+    doc_id%8 groups (explicit so the DuckDB twin can replicate the
+    grouping; production uses the xxhash64 default)."""
+    from ontoemma_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "grp_in", F.col("doc_id") % 8
+    )
+    return pack_sequences(docs, max_tokens=256, group_col="grp_in").select(
+        F.col("grp").cast("bigint").alias("grp"),
+        F.col("bin_idx"), F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens"), F.col("bin_fill"),
+    )
+
+
+# greedy fill-with-reset is a per-group linear recurrence → recursive
+# CTE stepping one row (per group) per iteration; groups advance in
+# parallel, so rounds = max group size.
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE d AS (
+  SELECT doc_id % 8 AS grp, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT grp, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_idx, n AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n,
+         CASE WHEN w.fill + d.n > 256 THEN w.bin_idx + 1 ELSE w.bin_idx END,
+         CASE WHEN w.fill + d.n > 256 THEN d.n ELSE w.fill + d.n END
+  FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1
+)
+SELECT CAST(grp AS BIGINT) AS grp, bin_idx,
+       CAST(doc_id AS BIGINT) AS doc_id, n AS n_tokens, fill AS bin_fill
+FROM walk
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.token_counts(docs).select(
@@ -3015,6 +3159,9 @@ QUERIES: dict[str, callable] = {
     "repetition_scores": q_repetition_scores,
     "source_rollup": q_source_rollup,
     "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
+    "mixture_sample": q_mixture_sample,
+    "pack_sequences": q_pack_sequences,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
@@ -3081,6 +3228,9 @@ ORACLES: dict[str, str] = {
     "repetition_scores": SQL_REPETITION_SCORES,
     "source_rollup": SQL_SOURCE_ROLLUP,
     "decontaminate": SQL_DECONTAMINATE,
+    "redact_pii": SQL_REDACT_PII,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "media_meta": SQL_MEDIA_META,

@@ -1,0 +1,103 @@
+"""Curation operators: PII redaction, mixture sampling, sequence packing."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from ontoemma_spark.operators.curation import (
+    mixture_sample,
+    pack_sequences,
+    pack_sequences_py,
+    redact_pii,
+)
+
+
+def test_redact_pii_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org thanks"),
+            (2, "call +1 555-123-4567 or 555-000-1111 now"),
+            (3, "server at 10.0.0.1 and 192.168.100.200 down"),
+            (4, "clean text with no identifiers at all"),
+            (5, "combo a@b.io 555-111-2222 1.2.3.4"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["text"]
+    assert "jane" not in got[1]["text"]
+    assert got[2]["n_phone"] == 2 and got[2]["text"].count("<PHONE>") == 2
+    assert got[3]["n_ip"] == 2 and got[3]["text"].count("<IP>") == 2
+    assert got[4]["text"] == "clean text with no identifiers at all"
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ip"]) == (0, 0, 0)
+    assert got[5]["text"] == "combo <EMAIL> <PHONE> <IP>"
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    docs = spark.createDataFrame(
+        [(i, "srcA" if i % 2 == 0 else "srcB", f"text {i}") for i in range(400)],
+        ["doc_id", "source", "text"],
+    )
+    weights = spark.createDataFrame(
+        [("srcA", 1.0), ("srcB", 0.25)], ["source", "weight"]
+    )
+    kept1 = sorted(r["doc_id"] for r in mixture_sample(docs, weights).collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(docs.repartition(7), weights).collect()
+    )
+    # deterministic under repartitioning
+    assert kept1 == kept2
+    # weight 1.0 keeps every srcA doc
+    assert [d for d in kept1 if d % 2 == 0] == [d for d in range(400) if d % 2 == 0]
+    # weight 0.25 keeps roughly a quarter of srcB (binomial, wide bounds)
+    n_b = len([d for d in kept1 if d % 2 == 1])
+    assert 20 <= n_b <= 90, n_b
+    # weight 0.0 keeps nothing
+    zero = spark.createDataFrame([("srcA", 0.0), ("srcB", 0.0)], ["source", "weight"])
+    assert mixture_sample(docs, zero).count() == 0
+
+
+def test_pack_sequences_matches_python_spec(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 120))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "g", F.col("doc_id") % 4
+    )
+    got = {
+        (r["grp"], r["doc_id"]): (r["bin_idx"], r["n_tokens"], r["bin_fill"])
+        for r in pack_sequences(docs, max_tokens=256, group_col="g").collect()
+    }
+    spec_rows = [(i % 4, i, len(rows[i][1].split(" "))) for i in range(200)]
+    expected = {
+        (g, d): (b, n, f)
+        for g, b, d, n, f in pack_sequences_py(spec_rows, max_tokens=256)
+    }
+    assert got == expected
+    # capacity invariant: a bin only exceeds max_tokens when it holds a
+    # single oversized doc
+    fills = {}
+    for (g, d), (b, n, f) in got.items():
+        fills.setdefault((g, b), []).append(n)
+    for (g, b), sizes in fills.items():
+        if sum(sizes) > 256:
+            assert len(sizes) == 1, (g, b, sizes)
+
+
+def test_pack_sequences_default_hash_grouping(spark):
+    docs = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(50)], ["doc_id", "text"]
+    )
+    out = pack_sequences(docs, max_tokens=10, n_groups=8)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert set(r["grp"] for r in rows) <= set(range(8))
+    # 5-token docs, 10-token bins -> every full bin holds exactly 2 docs
+    per_bin = {}
+    for r in rows:
+        per_bin.setdefault((r["grp"], r["bin_idx"]), 0)
+        per_bin[(r["grp"], r["bin_idx"])] += 1
+    assert all(c <= 2 for c in per_bin.values())
