@@ -42,8 +42,9 @@ def redact_pii(
     out = F.col(text_col)
     counts = []
     for name, pat, repl in _PII:
+        # null text → null extract array; report 0 hits, not null
         counts.append(
-            F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+            F.coalesce(F.size(F.regexp_extract_all(out, F.lit(pat), 0)), F.lit(0))
             .cast("bigint")
             .alias(f"n_{name}")
         )
@@ -148,7 +149,7 @@ def pack_sequences(
         grp.alias("grp"),
         F.col(id_col).alias("doc_id"),
         toks.alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens") > 0)  # null/empty text has nothing to pack
 
     schema = (
         "grp bigint, bin_idx bigint, doc_id bigint, n_tokens bigint, "

@@ -101,3 +101,40 @@ def test_pack_sequences_default_hash_grouping(spark):
         per_bin.setdefault((r["grp"], r["bin_idx"]), 0)
         per_bin[(r["grp"], r["bin_idx"])] += 1
     assert all(c <= 2 for c in per_bin.values())
+
+
+def test_curation_ops_survive_null_text_and_empty_inputs(spark):
+    """Null text / empty inputs must not kill the job (the corrupt-row
+    probes that found real bugs in earlier rounds)."""
+    from ontoemma_spark.operators.dedup import (
+        contamination_hits,
+        resolve_duplicate_clusters,
+    )
+    from ontoemma_spark.operators.textstats import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(1, "normal text with several words here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    # repetition: null/short texts simply produce no grams
+    rep = repetition_scores(docs, w=2)
+    assert {r["doc_id"] for r in rep.collect()} == {1}
+
+    # decontamination: null-text docs still come back, uncontaminated
+    bench = spark.createDataFrame([(9, "zz yy xx ww vv")], ["doc_id", "text"])
+    cont = {r["doc_id"]: r for r in contamination_hits(docs, bench, w=5).collect()}
+    assert set(cont) == {1, 2, 3}
+    assert not cont[2]["contaminated"] and cont[2]["n_hit_grams"] == 0
+
+    # resolve with an EMPTY pair graph: everyone is their own canonical
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    res = resolve_duplicate_clusters(docs, empty_pairs).collect()
+    assert len(res) == 3 and all(r["is_canonical"] for r in res)
+
+    # redaction passes null text through as null, zero counts
+    red = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert red[2]["text"] is None and red[2]["n_email"] == 0
+
+    # packing: null text has split()->null -> excluded (no token count)
+    packed = pack_sequences(docs, max_tokens=8, n_groups=2).collect()
+    assert {r["doc_id"] for r in packed} <= {1, 2, 3}
