@@ -198,3 +198,103 @@ def pack_sequences_py(
             fill += n
             out.append((g, bin_idx, d, n, fill))
     return out
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    weights: DataFrame,
+    max_tokens: int = 256,
+    min_quality: float = 0.5,
+    max_dup_gram_frac: float = 0.3,
+    min_jaccard: float = 0.5,
+    shingle_w: int = 2,
+    num_hashes: int = 4,
+    bands: int = 2,
+    decontam_w: int = 5,
+    pack_group_col: str | None = None,
+    n_pack_groups: int = 64,
+    pack_groups_by_mod: bool = False,
+) -> DataFrame:
+    """The full corpus-curation pass, composed from the family's
+    operators in the order a production pipeline runs them:
+
+      1. quality + repetition gate (cheap narrow filters first —
+         shrink the corpus before anything that joins);
+      2. benchmark decontamination (broadcast gram probe);
+      3. near-duplicate resolution (MinHash-LSH pairs → CC clusters →
+         canonical survivors);
+      4. deterministic mixture sampling (source weights);
+      5. PII redaction;
+      6. greedy sequence packing into max_tokens contexts.
+
+    Returns the packed result: (grp, bin_idx, doc_id, n_tokens,
+    bin_fill) over the surviving documents. Each stage is the
+    already-tested operator — this is composition, not new math.
+
+    Stage order is a scale decision: the narrow per-doc gates run
+    first so the LSH self-join and CC see the smallest possible doc
+    set; decontamination precedes dedup so a contaminated canonical
+    cannot shadow a clean duplicate; sampling follows dedup so source
+    weights apply to unique content, not duplicate multiplicity.
+    """
+    from ontoemma_spark.operators import dedup as D
+    from ontoemma_spark.operators.textstats import quality_scores, repetition_scores
+
+    qual = quality_scores(docs).select("doc_id", "quality_score")
+    rep = repetition_scores(docs, w=shingle_w).select("doc_id", "dup_gram_frac")
+    gated = (
+        docs.join(qual, "doc_id")
+        .join(rep, "doc_id", "left")  # gram-less docs pass the repetition gate
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (
+                F.col("dup_gram_frac").isNull()
+                | (F.col("dup_gram_frac") < max_dup_gram_frac)
+            )
+        )
+        .select(*docs.columns)
+    )
+
+    cont = D.contamination_hits(gated, benchmark, w=decontam_w)
+    clean = gated.join(
+        cont.filter("NOT contaminated").select("doc_id"), "doc_id"
+    )
+
+    sig = D.minhash_signatures_narrow(
+        clean, w=shingle_w, num_hashes=num_hashes
+    )
+    cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    # exact-jaccard rescore of LSH survivors only
+    sh = clean.select(
+        "doc_id", F.array_distinct(D.shingle_array("text", shingle_w)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .filter((inter / union) >= min_jaccard)
+        .select("doc_a", "doc_b")
+    )
+    resolved = D.resolve_duplicate_clusters(clean, pairs)
+    unique_docs = clean.join(
+        resolved.filter("is_canonical").select("doc_id"), "doc_id"
+    )
+
+    sampled = mixture_sample(unique_docs, weights)
+    redacted = redact_pii(sampled).select("doc_id", "text")
+    if pack_groups_by_mod:
+        # doc_id % n groups: SQL-twin-expressible (the default xxhash64
+        # grouping is the production path)
+        redacted = redacted.withColumn(
+            "_grp", F.col("doc_id") % n_pack_groups
+        )
+        return pack_sequences(redacted, max_tokens=max_tokens, group_col="_grp")
+    return pack_sequences(
+        redacted,
+        max_tokens=max_tokens,
+        group_col=pack_group_col,
+        n_groups=n_pack_groups,
+    )

@@ -1243,6 +1243,162 @@ FROM walk
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pass composed end-to-end (the data-pipeline
+    analog of kg_pipeline's composed oracle): quality+repetition gate →
+    benchmark decontamination → LSH near-dup resolution → mixture
+    sampling → PII redaction → sequence packing. Every stage is the
+    already-oracled operator; this row proves the composition."""
+    from ontoemma_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    weights = docs.select("source").distinct().select(
+        "source",
+        F.when(
+            F.regexp_extract("source", r"(\d+)", 1).cast("int") % 2 == 0, 0.25
+        ).otherwise(0.9).alias("weight"),
+    )
+    out = curate_corpus(
+        docs, bench, weights,
+        max_tokens=256, shingle_w=SHINGLE_W, num_hashes=NUM_MINHASHES,
+        bands=LSH_BANDS, min_jaccard=JACCARD_MIN,
+        n_pack_groups=8, pack_groups_by_mod=True,
+    )
+    return out.select(
+        F.col("grp").cast("bigint").alias("grp"),
+        "bin_idx",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens", "bin_fill",
+    )
+
+
+_CURATE_SIG = ", ".join(
+    f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(NUM_MINHASHES)
+)
+_PII_CHAIN_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),"
+    " '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')"
+)
+
+SQL_CURATE_CORPUS = (
+    _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f"""
+, rep AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dupf
+  FROM (
+    SELECT doc_id, shingle, count(*) AS c
+    FROM sh0 WHERE _last IS NOT NULL GROUP BY doc_id, shingle
+  ) GROUP BY doc_id
+),
+q AS ({SQL_QUALITY_SCORES}),
+gated AS (
+  SELECT d.doc_id FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN rep ON rep.doc_id = d.doc_id
+  WHERE q.quality_score >= 0.5 AND (rep.dupf IS NULL OR rep.dupf < 0.3)
+),
+g5 AS (
+  SELECT doc_id, tok,
+         lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+         lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tok, l1, l2, l3, l4) AS gram
+  FROM g5 WHERE l4 IS NOT NULL
+),
+bgrams AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+cont AS (
+  SELECT DISTINCT g.doc_id FROM g
+  JOIN gated USING (doc_id) JOIN bgrams USING (gram)
+),
+clean AS (
+  -- anti-join, not EXCEPT: DuckDB disallows EXCEPT-shaped CTEs inside
+  -- a WITH RECURSIVE block
+  SELECT ga.doc_id FROM gated ga
+  LEFT JOIN cont ON cont.doc_id = ga.doc_id
+  WHERE cont.doc_id IS NULL
+),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN clean USING (doc_id)),
+sig AS (SELECT doc_id, {_CURATE_SIG} FROM shc GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE i / (sa.n + sb.n - i) >= {JACCARD_MIN!r}
+),
+dup AS (SELECT c.doc_a, c.doc_b FROM cand c JOIN jac j USING (doc_a, doc_b)),
+edges AS MATERIALIZED (
+  -- MATERIALIZED: the recursive walk re-inlines referenced CTEs per
+  -- iteration; without it the whole LSH chain re-executes every round
+  SELECT doc_a AS src, doc_b AS dst FROM dup
+  UNION
+  SELECT doc_b, doc_a FROM dup
+),
+walk AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT e.dst, w.reach FROM walk w JOIN edges e ON w.node = e.src
+),
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+survivors AS (
+  SELECT c.doc_id FROM clean c LEFT JOIN cc ON cc.node = c.doc_id
+  WHERE cc.component IS NULL OR cc.component = c.doc_id
+),
+wts AS (
+  SELECT source,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 0
+              THEN 0.25 ELSE 0.9 END AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+),
+sampled AS (
+  SELECT s.doc_id, {_PII_CHAIN_SQL} AS text
+  FROM survivors s JOIN documents d ON s.doc_id = d.doc_id
+  JOIN wts w ON d.source = w.source
+  WHERE substr(md5('mix:' || CAST(s.doc_id AS VARCHAR)), 1, 8)
+        < CASE WHEN w.weight >= 1.0 THEN 'zzzzzzzz'
+               ELSE printf('%08x', CAST(floor(w.weight * 4294967296) AS BIGINT)) END
+),
+pk AS MATERIALIZED (
+  -- MATERIALIZED: pwalk steps once per row rank; inlining would
+  -- re-run the entire curation chain per step
+  SELECT doc_id % 8 AS pgrp, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM sampled WHERE len(string_split(text, ' ')) > 0
+),
+pwalk AS (
+  SELECT pgrp, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_idx, n AS fill
+  FROM pk WHERE rn = 1
+  UNION ALL
+  SELECT pk.pgrp, pk.rn, pk.doc_id, pk.n,
+         CASE WHEN w.fill + pk.n > 256 THEN w.bin_idx + 1 ELSE w.bin_idx END,
+         CASE WHEN w.fill + pk.n > 256 THEN pk.n ELSE w.fill + pk.n END
+  FROM pwalk w JOIN pk ON pk.pgrp = w.pgrp AND pk.rn = w.rn + 1
+)
+SELECT CAST(pgrp AS BIGINT) AS grp, bin_idx,
+       CAST(doc_id AS BIGINT) AS doc_id, n AS n_tokens, fill AS bin_fill
+FROM pwalk
+"""
+)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.token_counts(docs).select(
@@ -3162,6 +3318,7 @@ QUERIES: dict[str, callable] = {
     "redact_pii": q_redact_pii,
     "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
+    "curate_corpus": q_curate_corpus,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
@@ -3231,6 +3388,7 @@ ORACLES: dict[str, str] = {
     "redact_pii": SQL_REDACT_PII,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "media_meta": SQL_MEDIA_META,
