@@ -39,6 +39,11 @@ EXTENDED = [
     # gets a trend line like everything else (VERDICT r2 item 7)
     "pair_features",
     "lr_scores",
+    # round 3: the dedup APPLY step (LSH pairs → CC clusters → survivors)
+    "dedup_resolve",
+    # round 3: the composed curation pass (gate → decontaminate →
+    # dedup-resolve → sample → redact → pack)
+    "curate_corpus",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -256,19 +256,26 @@ def curate_corpus(
         .select(*docs.columns)
     )
 
+    from pyspark import StorageLevel
+
     cont = D.contamination_hits(gated, benchmark, w=decontam_w)
+    # persist: clean feeds four consumers (signatures, the rescore
+    # arrays, cluster resolution, and the survivor join) and the CC
+    # inside resolve_duplicate_clusters materializes eagerly — without
+    # the cache the gate→decontaminate subplan re-executes per consumer.
     clean = gated.join(
         cont.filter("NOT contaminated").select("doc_id"), "doc_id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     sig = D.minhash_signatures_narrow(
         clean, w=shingle_w, num_hashes=num_hashes
     )
     cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
-    # exact-jaccard rescore of LSH survivors only
+    # exact-jaccard rescore of LSH survivors only; one shingling pass
+    # feeds both join sides
     sh = clean.select(
         "doc_id", F.array_distinct(D.shingle_array("text", shingle_w)).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
