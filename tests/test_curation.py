@@ -138,3 +138,25 @@ def test_curation_ops_survive_null_text_and_empty_inputs(spark):
     # packing: null text has split()->null -> excluded (no token count)
     packed = pack_sequences(docs, max_tokens=8, n_groups=2).collect()
     assert {r["doc_id"] for r in packed} <= {1, 2, 3}
+
+
+def test_curate_cli_synthetic(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "packed")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "curate_corpus.py"),
+         "--synthetic", "--out", out, "--max-tokens", "128"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["docs_in"] == 400
+    # the 8 synthetic benchmark docs (every 50th) are self-contaminated
+    assert stats["docs_packed"] == 392
+    assert stats["tokens"] == 392 * 60
+    assert os.path.isdir(out)
