@@ -109,10 +109,11 @@ def mixture_sample(
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,
-    n_groups: int = 64,
+    n_groups: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str | None = None,
+    docs_per_group: int = 50_000,
 ) -> DataFrame:
     """Greedy sequence packing: fill fixed-capacity training contexts
     with whole documents (first-fit in doc-id order), the standard
@@ -132,11 +133,15 @@ def pack_sequences(
     (grp, bin_idx)-scoped.
 
     Scale: one shuffle keyed by the group hash; each group's packing
-    is a single in-memory pass over its docs inside an Arrow batch.
-    n_groups bounds task memory: size it so corpus_tokens / n_groups
-    fits an executor (at 10^12 docs you raise n_groups, not executor
-    memory).
+    is a single in-memory pass over its docs inside an Arrow batch, so
+    the group size bounds task memory. n_groups=None (default)
+    auto-sizes from a corpus count so each group holds ~docs_per_group
+    docs — a fixed default would silently build 10^10-doc Arrow
+    batches at 10^12 docs. Pass n_groups explicitly to skip the count
+    pass when the corpus size is already known.
     """
+    if group_col is None and n_groups is None:
+        n_groups = max(16, -(-docs.count() // docs_per_group))  # ceil
     toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
     grp = (
         F.col(group_col).cast("bigint")
@@ -213,7 +218,7 @@ def curate_corpus(
     bands: int = 2,
     decontam_w: int = 5,
     pack_group_col: str | None = None,
-    n_pack_groups: int = 64,
+    n_pack_groups: int | None = None,
     pack_groups_by_mod: bool = False,
 ) -> DataFrame:
     """The full corpus-curation pass, composed from the family's
@@ -294,7 +299,9 @@ def curate_corpus(
     redacted = redact_pii(sampled).select("doc_id", "text")
     if pack_groups_by_mod:
         # doc_id % n groups: SQL-twin-expressible (the default xxhash64
-        # grouping is the production path)
+        # grouping is the production path); needs an explicit group count
+        if n_pack_groups is None:
+            raise ValueError("pack_groups_by_mod requires n_pack_groups")
         redacted = redacted.withColumn(
             "_grp", F.col("doc_id") % n_pack_groups
         )
