@@ -1,0 +1,109 @@
+"""Streaming corpus ingest with an inline curation gate.
+
+Continuous crawl ingest is the streaming face of the curation family:
+pages arrive at-least-once (recrawls, mirror replays), and the gate
+must run BEFORE anything expensive. Structured Streaming forbids
+chained stateful aggregations on one stream, so the gate is built
+from NARROW signals only — that is the design point, not a
+workaround: per-doc quality and repetition are computable in-row, and
+the single stateful op is the watermarked content-hash dedup
+(bounded state, exactly-once within the horizon).
+
+The repetition signal here is the in-row form 1 − distinct/total over
+w-grams (computable without a shuffle), not the batch
+repetition_scores dup-occurrence fraction (which needs a per-gram
+count aggregation). Both rank degenerate docs the same way; the batch
+op remains the corpus-analytics tool, this one is the ingest gate.
+
+Batch/stream parity: every function works identically on a batch
+DataFrame (watermark/dedup degrade to plain distinct), which is how
+the equivalence test pins correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontoemma_spark.operators.dedup import shingle_array
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_page_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of parquet page files
+    (north-rule input shape), explicit schema, bounded trigger size."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def gram_repeat_ratio(text_col: str = "text", w: int = 2) -> F.Column:
+    """In-row repetition signal: 1 − distinct/total over w-grams.
+    Zero-shuffle (array math inside the row), hence streamable."""
+    grams = shingle_array(text_col, w)
+    n = F.size(grams)
+    return F.when(
+        n > 0,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def gate_page_stream(
+    pages: DataFrame,
+    min_quality: float = 0.5,
+    max_repeat_ratio: float = 0.3,
+    watermark: str = "2 hours",
+    w: int = 2,
+) -> DataFrame:
+    """The ingest curation gate: narrow quality + narrow repetition
+    filters, then exactly-once content dedup within the watermark
+    horizon (recrawled/mirrored pages with identical text are dropped;
+    state is bounded — hashes older than the horizon expire).
+
+    Returns the gated pages with (quality_score, repeat_ratio,
+    content_hash) attached. Works identically on a batch DataFrame.
+    """
+    scored = pages.withColumn(
+        "quality_score",
+        # same four 0.25 gates as textstats.quality_scores, restated as
+        # one in-row expression (a join against quality_scores' output
+        # would be a stream-stream join; the gate must stay single-pass)
+        _inline_quality("text"),
+    ).withColumn("repeat_ratio", gram_repeat_ratio("text", w))
+    gated = scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("repeat_ratio") < max_repeat_ratio)
+    ).withColumn("content_hash", F.md5(F.col("text")))
+    if gated.isStreaming:
+        return gated.withWatermark(
+            "warc_ts", watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
+    return gated.dropDuplicates(["content_hash"])
+
+
+def _inline_quality(text_col: str) -> F.Column:
+    """quality_scores' combined score as a single column expression
+    (identical gates; pinned equal by test_page_gate_quality_matches)."""
+    toks = F.split(F.col(text_col), " ")
+    n_toks = F.size(toks)
+    from ontoemma_spark.functions.stopwords import ENGLISH_STOPWORDS_SORTED
+
+    stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS_SORTED])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_toks
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    ) / n_toks
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
+    return (
+        F.when(n_toks >= 20, 0.25).otherwise(0.0)
+        + F.when((mean_len >= 3) & (mean_len <= 10), 0.25).otherwise(0.0)
+        + F.when(stop_ratio <= 0.5, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
+    )
