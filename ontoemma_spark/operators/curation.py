@@ -291,6 +291,11 @@ def curate_corpus(
         .select("doc_a", "doc_b")
     )
     resolved = D.resolve_duplicate_clusters(clean, pairs)
+    # resolve materialized CC eagerly (checkpointed labels), and pairs
+    # was sh's only consumer — drop the shingle cache now instead of
+    # leaking it for the session's lifetime. clean stays cached: the
+    # lazy result below still reads it.
+    sh.unpersist()
     unique_docs = clean.join(
         resolved.filter("is_canonical").select("doc_id"), "doc_id"
     )
