@@ -242,17 +242,26 @@ def curate_corpus(
     set; decontamination precedes dedup so a contaminated canonical
     cannot shadow a clean duplicate; sampling follows dedup so source
     weights apply to unique content, not duplicate multiplicity.
+
+    Cache lifetime: the gated+decontaminated doc set stays persisted
+    until the returned plan is consumed (it feeds both the eager CC
+    materialization and the lazy tail); after materializing the
+    result, release it with spark.catalog.clearCache() in long-lived
+    sessions.
     """
     from ontoemma_spark.operators import dedup as D
-    from ontoemma_spark.operators.textstats import quality_scores, repetition_scores
+    from ontoemma_spark.operators.textstats import quality_score_col, repetition_scores
 
-    qual = quality_scores(docs).select("doc_id", "quality_score")
+    # quality is a narrow in-row expression — filtering in the scan
+    # stage, NOT a join against quality_scores' projection (which would
+    # shuffle the whole corpus twice for a value computable per row).
+    # The repetition side genuinely needs its per-gram aggregation.
     rep = repetition_scores(docs, w=shingle_w).select("doc_id", "dup_gram_frac")
     gated = (
-        docs.join(qual, "doc_id")
+        docs.withColumn("_q", quality_score_col("text"))
         .join(rep, "doc_id", "left")  # gram-less docs pass the repetition gate
         .filter(
-            (F.col("quality_score") >= min_quality)
+            (F.col("_q") >= min_quality)
             & (
                 F.col("dup_gram_frac").isNull()
                 | (F.col("dup_gram_frac") < max_dup_gram_frac)
@@ -276,20 +285,13 @@ def curate_corpus(
         clean, w=shingle_w, num_hashes=num_hashes
     )
     cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
-    # exact-jaccard rescore of LSH survivors only; one shingling pass
-    # feeds both join sides
+    # exact-jaccard rescore of LSH survivors only (shared helper — same
+    # rescore the LSH dedup query uses); one shingling pass feeds both
+    # join sides
     sh = clean.select(
         "doc_id", F.array_distinct(D.shingle_array("text", shingle_w)).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    pairs = (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .filter((inter / union) >= min_jaccard)
-        .select("doc_a", "doc_b")
-    )
+    pairs = D.rescore_jaccard_pairs(cand, sh, min_jaccard)
     resolved = D.resolve_duplicate_clusters(clean, pairs)
     # resolve materialized CC eagerly (checkpointed labels), and pairs
     # was sh's only consumer — drop the shingle cache now instead of
@@ -302,6 +304,12 @@ def curate_corpus(
 
     sampled = mixture_sample(unique_docs, weights)
     redacted = redact_pii(sampled).select("doc_id", "text")
+    if pack_group_col is not None:
+        # redact_pii projects (doc_id, counts, text) — re-attach the
+        # caller's group column so the packing key survives redaction
+        redacted = redacted.join(
+            sampled.select("doc_id", pack_group_col), "doc_id"
+        )
     if pack_groups_by_mod:
         # doc_id % n groups: SQL-twin-expressible (the default xxhash64
         # grouping is the production path); needs an explicit group count

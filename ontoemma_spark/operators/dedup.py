@@ -118,7 +118,13 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands) and bucket-join:
     pairs agreeing on ANY full band are near-duplicate candidates.
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Docs with NO shingles (shorter than the shingle width) carry
+    all-NULL signatures in the narrow sketch form; they are excluded
+    up front — otherwise every such doc would share the md5('')
+    band hash and one bucket would go quadratic at corpus scale."""
+    signatures = signatures.filter(F.col("h0").isNotNull())
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -588,3 +594,31 @@ def contamination_hits(
             (n > 0).alias("contaminated"),
         )
     )
+
+
+def rescore_jaccard_pairs(
+    pairs: DataFrame,
+    shingle_arrays: DataFrame,
+    min_jaccard: float,
+    keep_jaccard: bool = False,
+) -> DataFrame:
+    """Exact-jaccard rescore of candidate pairs: joins the per-doc
+    DISTINCT shingle ARRAY (doc_id, sh) onto the (small) pair set and
+    intersects in-row — exact jaccard is computed only for candidates,
+    never all-pairs. Shared by the LSH dedup query and the composed
+    curation pass so the two rescores cannot drift."""
+    a = shingle_arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = shingle_arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    cols = ["doc_a", "doc_b"] + (["jaccard"] if keep_jaccard else [])
+    return out.select(*cols)

@@ -65,10 +65,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return out
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features: length, mean word length, stopword
-    ratio, alpha ratio, distinct-token ratio + a combined [0,1] score
-    (the C4/Gopher-style cheap filters)."""
+def _quality_parts(text_col: str):
     toks = whitespace_tokens(text_col)
     n_toks = F.size(toks)
     stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS_SORTED])
@@ -77,15 +74,32 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
     ) / n_toks
     distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
-        / F.length(text_col)
-    )
     score = (
         F.when(n_toks >= 20, 0.25).otherwise(0.0)
         + F.when((mean_len >= 3) & (mean_len <= 10), 0.25).otherwise(0.0)
         + F.when(stop_ratio <= 0.5, 0.25).otherwise(0.0)
         + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
+    )
+    return n_toks, mean_len, stop_ratio, distinct_ratio, score
+
+
+def quality_score_col(text_col: str = "text") -> F.Column:
+    """The combined [0,1] quality score as ONE narrow column expression
+    — usable inside a scan-stage filter (streaming gate, curation
+    gate) with no join against quality_scores' output. The single
+    source of the four 0.25 gates; quality_scores projects the same
+    expression."""
+    return _quality_parts(text_col)[4]
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, alpha ratio, distinct-token ratio + a combined [0,1] score
+    (the C4/Gopher-style cheap filters)."""
+    n_toks, mean_len, stop_ratio, distinct_ratio, score = _quality_parts(text_col)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+        / F.length(text_col)
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),

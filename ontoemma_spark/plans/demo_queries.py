@@ -653,18 +653,11 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_MINHASHES,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
-    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        pairs.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-        .select(
-            F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
-            F.round("jaccard", 6).alias("jaccard"),
-        )
+    return D.rescore_jaccard_pairs(
+        pairs, sh_arr, JACCARD_MIN, keep_jaccard=True
+    ).select(
+        F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 
@@ -736,7 +729,9 @@ SQL_DEDUP_RESOLVE = (
     _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + _LSH_JAC_CTES
     + """
-, edges AS (
+, edges AS MATERIALIZED (
+  -- the recursive walk re-inlines referenced CTEs per iteration;
+  -- MATERIALIZED keeps the LSH chain from re-executing every round
   SELECT doc_a AS src, doc_b AS dst FROM dup
   UNION
   SELECT doc_b, doc_a FROM dup
@@ -1222,11 +1217,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTE stepping one row (per group) per iteration; groups advance in
 # parallel, so rounds = max group size.
 SQL_PACK_SEQUENCES = """
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
+  -- n > 0 mirrors the operator's nothing-to-pack filter (null/empty
+  -- text); MATERIALIZED so the recursive walk doesn't re-inline this
   SELECT doc_id % 8 AS grp, doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
   FROM documents
+  WHERE len(string_split(text, ' ')) > 0
 ),
 walk AS (
   SELECT grp, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_idx, n AS fill

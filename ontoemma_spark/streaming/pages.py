@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ontoemma_spark.operators.dedup import shingle_array
+from ontoemma_spark.operators.textstats import quality_score_col
 
 PAGES_DDL = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -71,11 +72,10 @@ def gate_page_stream(
     content_hash) attached. Works identically on a batch DataFrame.
     """
     scored = pages.withColumn(
-        "quality_score",
-        # same four 0.25 gates as textstats.quality_scores, restated as
-        # one in-row expression (a join against quality_scores' output
-        # would be a stream-stream join; the gate must stay single-pass)
-        _inline_quality("text"),
+        # the SAME gates as batch quality_scores, as one in-row
+        # expression (a join against quality_scores' output would be a
+        # stream-stream join; the gate must stay single-pass)
+        "quality_score", quality_score_col("text"),
     ).withColumn("repeat_ratio", gram_repeat_ratio("text", w))
     gated = scored.filter(
         (F.col("quality_score") >= min_quality)
@@ -86,24 +86,3 @@ def gate_page_stream(
             "warc_ts", watermark
         ).dropDuplicatesWithinWatermark(["content_hash"])
     return gated.dropDuplicates(["content_hash"])
-
-
-def _inline_quality(text_col: str) -> F.Column:
-    """quality_scores' combined score as a single column expression
-    (identical gates; pinned equal by test_page_gate_quality_matches)."""
-    toks = F.split(F.col(text_col), " ")
-    n_toks = F.size(toks)
-    from ontoemma_spark.functions.stopwords import ENGLISH_STOPWORDS_SORTED
-
-    stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS_SORTED])
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_toks
-    mean_len = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-    ) / n_toks
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
-    return (
-        F.when(n_toks >= 20, 0.25).otherwise(0.0)
-        + F.when((mean_len >= 3) & (mean_len <= 10), 0.25).otherwise(0.0)
-        + F.when(stop_ratio <= 0.5, 0.25).otherwise(0.0)
-        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
-    )

@@ -73,15 +73,25 @@ def main() -> None:
     if args.weights_json:
         with open(args.weights_json) as f:
             wmap = json.load(f)
-        weights = spark.createDataFrame(
-            list(wmap.items()), ["source", "weight"]
+        user_w = spark.createDataFrame(list(wmap.items()), ["source", "weight"])
+        # sources absent from the JSON keep weight 1.0 — mixture_sample
+        # inner-joins on source, so an uncovered source would otherwise
+        # be dropped silently
+        weights = srcs.join(user_w, "source", "left").select(
+            "source", F.coalesce("weight", F.lit(1.0)).alias("weight")
         )
     else:
         weights = srcs.withColumn("weight", F.lit(1.0))
 
+    # pre-size packing groups from the input count (an upper bound on
+    # survivors) so pack_sequences' auto-count doesn't execute the whole
+    # curation chain an extra time before the write runs it again
+    docs_in = docs.count()
+    n_groups = max(16, -(-docs_in // 50_000))
     packed = curate_corpus(
         docs, benchmark, weights,
         max_tokens=args.max_tokens, min_quality=args.min_quality,
+        n_pack_groups=n_groups,
     )
     packed.write.mode("overwrite").parquet(args.out)
 
@@ -92,7 +102,7 @@ def main() -> None:
         F.sum("n_tokens").alias("tokens"),
     ).collect()[0]
     print(json.dumps({
-        "docs_in": docs.count(),
+        "docs_in": docs_in,
         "docs_packed": stats["docs_packed"],
         "bins": stats["bins"],
         "tokens": stats["tokens"],

@@ -160,3 +160,47 @@ def test_curate_cli_synthetic(tmp_path):
     assert stats["docs_packed"] == 392
     assert stats["tokens"] == 392 * 60
     assert os.path.isdir(out)
+
+
+def test_curate_corpus_pack_group_col_survives_redaction(spark):
+    """pack_group_col must reach the packer (it used to be dropped by
+    the redaction projection and crash with UNRESOLVED_COLUMN)."""
+    from ontoemma_spark.operators.curation import curate_corpus
+
+    rows = [
+        (i, f"src{i % 2}", i % 3,
+         " ".join(f"word{(i * 13 + j * 5) % 997} item{(i + j * 3) % 53}"
+                  for j in range(15)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "shard", "text"])
+    bench = docs.limit(0)
+    weights = docs.select("source").distinct().withColumn("weight", F.lit(1.0))
+    out = curate_corpus(docs, bench, weights, max_tokens=64,
+                        pack_group_col="shard")
+    rows_out = out.collect()
+    assert len(rows_out) == 40
+    assert {r["grp"] for r in rows_out} == {0, 1, 2}
+    # grouping must follow the caller's column exactly
+    assert all(r["grp"] == r["doc_id"] % 3 for r in rows_out)
+
+
+def test_lsh_excludes_gramless_docs(spark):
+    """Docs shorter than the shingle width carry all-NULL narrow
+    signatures; they must NOT collapse into one md5('') LSH bucket."""
+    from ontoemma_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_narrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(30)]          # 30 gram-less docs
+        + [(100, "a b c d e"), (101, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures_narrow(docs, w=3, num_hashes=4)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(sig, num_hashes=4, bands=2).collect()}
+    # the real twin pair survives; the 30 gram-less docs yield C(30,2)=435
+    # phantom pairs without the null filter
+    assert pairs == {(100, 101)}

@@ -35,8 +35,7 @@ def _pages(spark, n=60):
 def test_page_gate_quality_matches_batch_op(spark):
     """The gate's inline quality score must equal textstats
     quality_scores on the same text."""
-    from ontoemma_spark.operators.textstats import quality_scores
-    from ontoemma_spark.streaming.pages import _inline_quality
+    from ontoemma_spark.operators.textstats import quality_score_col, quality_scores
 
     pages = _pages(spark)
     batch = {
@@ -46,7 +45,7 @@ def test_page_gate_quality_matches_batch_op(spark):
     inline = {
         r["url"]: r["q"]
         for r in pages.select(
-            "url", F.round(_inline_quality("text"), 6).alias("q")
+            "url", F.round(quality_score_col("text"), 6).alias("q")
         ).collect()
     }
     assert inline == batch
