@@ -272,6 +272,11 @@ def curate_corpus(
 
     from pyspark import StorageLevel
 
+    # gated is consumed twice in the first job (the contamination probe
+    # and the clean join) and its quality gate is a narrow interpreted
+    # HOF with no exchange boundary — nothing for ReusedExchange to
+    # dedupe, so without a cache the gate chain executes per consumer.
+    gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
     cont = D.contamination_hits(gated, benchmark, w=decontam_w)
     # persist: clean feeds four consumers (signatures, the rescore
     # arrays, cluster resolution, and the survivor join) and the CC
@@ -281,23 +286,32 @@ def curate_corpus(
         cont.filter("NOT contaminated").select("doc_id"), "doc_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    sig = D.minhash_signatures_narrow(
-        clean, w=shingle_w, num_hashes=num_hashes
-    )
-    cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
-    # exact-jaccard rescore of LSH survivors only (shared helper — same
-    # rescore the LSH dedup query uses); one shingling pass feeds both
-    # join sides
+    # ONE shingling pass feeds everything (same structure as the LSH
+    # dedup query): signatures via the EXPLODED minhash form — md5 in
+    # explode+groupBy runs in whole-stage codegen, 2x the interpreted
+    # narrow transform — and sig persisted because the band join
+    # consumes it on both self-join sides.
     sh = clean.select(
         "doc_id", F.array_distinct(D.shingle_array("text", shingle_w)).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = D.minhash_signatures(
+        sh.select("doc_id", F.explode("sh").alias("shingle")),
+        num_hashes=num_hashes,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    # exact-jaccard rescore of LSH survivors only (shared helper — same
+    # rescore the LSH dedup query uses)
     pairs = D.rescore_jaccard_pairs(cand, sh, min_jaccard)
     resolved = D.resolve_duplicate_clusters(clean, pairs)
     # resolve materialized CC eagerly (checkpointed labels), and pairs
     # was sh's only consumer — drop the shingle cache now instead of
-    # leaking it for the session's lifetime. clean stays cached: the
-    # lazy result below still reads it.
+    # leaking it for the session's lifetime. gated's cache is also done:
+    # clean materialized (cache populated) during CC's first job, and
+    # every later consumer reads clean. clean stays cached: the lazy
+    # result below still reads it.
     sh.unpersist()
+    sig.unpersist()
+    gated.unpersist()
     unique_docs = clean.join(
         resolved.filter("is_canonical").select("doc_id"), "doc_id"
     )
