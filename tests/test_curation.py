@@ -204,3 +204,28 @@ def test_lsh_excludes_gramless_docs(spark):
     # the real twin pair survives; the 30 gram-less docs yield C(30,2)=435
     # phantom pairs without the null filter
     assert pairs == {(100, 101)}
+
+
+def test_curate_cli_partial_weights_fill(tmp_path):
+    """Sources missing from --weights-json keep weight 1.0 (they used
+    to be dropped silently by the inner weights join)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wfile = tmp_path / "w.json"
+    wfile.write_text(json.dumps({"src0": 0.0}))  # only 1 of 4 sources
+    out = str(tmp_path / "packed")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "curate_corpus.py"),
+         "--synthetic", "--out", out, "--max-tokens", "128",
+         "--weights-json", str(wfile)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    # 400 docs: 8 benchmark docs self-contaminated (4 src0 + 4 src2);
+    # weight 0.0 removes the remaining 96 src0 docs; src1-3 keep 1.0
+    assert stats["docs_packed"] == 400 - 8 - 96
