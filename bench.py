@@ -42,8 +42,14 @@ EXTENDED = [
     # round 3: the dedup APPLY step (LSH pairs → CC clusters → survivors)
     "dedup_resolve",
     # round 3: the composed curation pass (gate → decontaminate →
-    # dedup-resolve → sample → redact → pack)
+    # dedup-resolve → sample → redact → pack) and its stages
     "curate_corpus",
+    "repetition_scores",
+    "source_rollup",
+    "decontaminate",
+    "redact_pii",
+    "mixture_sample",
+    "pack_sequences",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset
