@@ -277,41 +277,43 @@ def curate_corpus(
     # HOF with no exchange boundary — nothing for ReusedExchange to
     # dedupe, so without a cache the gate chain executes per consumer.
     gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
-    cont = D.contamination_hits(gated, benchmark, w=decontam_w)
-    # persist: clean feeds four consumers (signatures, the rescore
-    # arrays, cluster resolution, and the survivor join) and the CC
-    # inside resolve_duplicate_clusters materializes eagerly — without
-    # the cache the gate→decontaminate subplan re-executes per consumer.
-    clean = gated.join(
-        cont.filter("NOT contaminated").select("doc_id"), "doc_id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # ONE shingling pass feeds everything (same structure as the LSH
-    # dedup query): signatures via the EXPLODED minhash form — md5 in
-    # explode+groupBy runs in whole-stage codegen, 2x the interpreted
-    # narrow transform — and sig persisted because the band join
-    # consumes it on both self-join sides.
-    sh = clean.select(
-        "doc_id", F.array_distinct(D.shingle_array("text", shingle_w)).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = D.minhash_signatures(
-        sh.select("doc_id", F.explode("sh").alias("shingle")),
-        num_hashes=num_hashes,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
-    # exact-jaccard rescore of LSH survivors only (shared helper — same
-    # rescore the LSH dedup query uses)
-    pairs = D.rescore_jaccard_pairs(cand, sh, min_jaccard)
-    resolved = D.resolve_duplicate_clusters(clean, pairs)
-    # resolve materialized CC eagerly (checkpointed labels), and pairs
-    # was sh's only consumer — drop the shingle cache now instead of
-    # leaking it for the session's lifetime. gated's cache is also done:
-    # clean materialized (cache populated) during CC's first job, and
-    # every later consumer reads clean. clean stays cached: the lazy
-    # result below still reads it.
-    sh.unpersist()
-    sig.unpersist()
-    gated.unpersist()
+    sh = sig = None
+    try:
+        cont = D.contamination_hits(gated, benchmark, w=decontam_w)
+        # persist: clean feeds the shingling pass, the CC map-back, and
+        # the survivor join, and the CC inside resolve_duplicate_clusters
+        # materializes eagerly — without the cache the gate→decontaminate
+        # subplan re-executes per consumer.
+        clean = gated.join(
+            cont.filter("NOT contaminated").select("doc_id"), "doc_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # one cached shingling pass + exploded-codegen signatures, the
+        # exact structure the LSH dedup query uses (shared helper so the
+        # two paths cannot drift); sh feeds BOTH the signatures and the
+        # rescore join, sig feeds both band self-join sides.
+        sh, sig = D.cached_shingle_signatures(
+            clean, w=shingle_w, num_hashes=num_hashes
+        )
+        cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+        # exact-jaccard rescore of LSH survivors only (shared helper —
+        # same rescore the LSH dedup query uses)
+        pairs = D.rescore_jaccard_pairs(cand, sh, min_jaccard)
+        resolved = D.resolve_duplicate_clusters(clean, pairs)
+    finally:
+        # resolve materializes CC eagerly (checkpointed labels) as its
+        # last step, so on success every consumer of sh/sig/gated has
+        # run: pairs (sh's and sig's last reader) fed CC, and clean's
+        # cache was populated during that same first job, after which
+        # every later consumer reads clean. On failure the same
+        # unpersists stop the caches leaking into a session that
+        # retries. clean stays cached either way: the lazy result
+        # below still reads it (release with spark.catalog.clearCache()
+        # after materializing, per the docstring).
+        if sh is not None:
+            sh.unpersist()
+        if sig is not None:
+            sig.unpersist()
+        gated.unpersist()
     unique_docs = clean.join(
         resolved.filter("is_canonical").select("doc_id"), "doc_id"
     )

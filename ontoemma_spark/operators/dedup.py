@@ -622,3 +622,42 @@ def rescore_jaccard_pairs(
     )
     cols = ["doc_a", "doc_b"] + (["jaccard"] if keep_jaccard else [])
     return out.select(*cols)
+
+
+def cached_shingle_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 8,
+):
+    """ONE cached shingling pass + MinHash signatures, the structure
+    every LSH consumer shares (the dedup query and the curation pass
+    both build on this — extracted so they cannot drift):
+
+      * the per-doc distinct shingle ARRAY is computed once and
+        persisted — the interpreted higher-order shingle transform is
+        the dominant cost, and it feeds both the signatures and the
+        exact-jaccard rescore;
+      * signatures use the EXPLODED minhash form (md5 inside
+        explode+groupBy runs in whole-stage codegen, 2x the
+        interpreted narrow transform; per-doc shingles are
+        partition-local so map-side combine reduces the exchange to
+        one row per doc), persisted because the band join consumes
+        them on both self-join sides.
+
+    Returns (shingle_arrays, signatures), BOTH persisted
+    MEMORY_AND_DISK — the caller owns the caches and must unpersist
+    once its downstream plans have materialized.
+    """
+    from pyspark import StorageLevel
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingle_array(text_col, w)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(
+        sh.select("doc_id", F.explode("sh").alias("shingle")),
+        num_hashes=num_hashes,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return sh, sig

@@ -625,33 +625,18 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc shingle ARRAY onto the (small) candidate-pair set and
     intersects in-row — exact jaccard is computed only for LSH survivors,
     never all-pairs (the whole point of LSH at 10^12 docs)."""
-    from pyspark import StorageLevel
-
     docs = _t(spark, sf_dir, "documents")
-    # persist (NOT eager localCheckpoint): sig and the shingle arrays
-    # feed BOTH sides of self-joins — cache the (KB-sized) intermediates
-    # instead of recomputing the narrow plan per side. persist keeps
-    # lineage (a lost executor recomputes its partitions; an eager
-    # localCheckpoint would kill the job on a real cluster) and spills
-    # to disk instead of pinning executor memory.
-    #
-    # ONE shingling pass feeds everything: the interpreted higher-order
-    # shingle transform is the dominant cost, so the per-doc shingle
-    # arrays are computed once, cached, and both the signatures (via
-    # explode of the cached array) and the rescore join read the cache.
-    # sig uses the EXPLODED minhash form, not the narrow one: md5 inside
-    # explode+groupBy runs in whole-stage codegen (2x the interpreted
-    # transform), and each doc's exploded shingles are partition-local,
-    # so map-side combine reduces the exchange to one row per doc —
-    # same values (tests pin narrow == exploded), same band join.
-    sh_arr = docs.select(
-        F.col("doc_id"),
-        F.array_distinct(D.shingle_array("text", SHINGLE_W)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = D.minhash_signatures(
-        sh_arr.select("doc_id", F.explode("sh").alias("shingle")),
-        num_hashes=NUM_MINHASHES,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE cached shingling pass + exploded-codegen signatures via the
+    # shared helper (cached_shingle_signatures — same structure as the
+    # composed curation pass, extracted so the two cannot drift; see
+    # its docstring for the persist/exploded-vs-narrow rationale —
+    # persist, NOT eager localCheckpoint: lineage survives executor
+    # loss on a real cluster, and MEMORY_AND_DISK spills instead of
+    # pinning executor memory. Same values as the narrow form — tests
+    # pin narrow == exploded.)
+    sh_arr, sig = D.cached_shingle_signatures(
+        docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES
+    )
     pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
     return D.rescore_jaccard_pairs(
         pairs, sh_arr, JACCARD_MIN, keep_jaccard=True
