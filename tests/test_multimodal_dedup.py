@@ -442,3 +442,30 @@ def test_contamination_hits_hand_computed(spark):
     assert got[2]["n_hit_grams"] == 0 and not got[2]["contaminated"]
     assert got[3]["n_hit_grams"] == 0
     assert got[4]["n_hit_grams"] == 0 and not got[4]["contaminated"]
+
+
+def test_embedding_neardup_composes_with_resolve(spark):
+    """The ANN near-dup pair emitter feeds the dedup apply step: one
+    call chain from embeddings to a deduplicated id set."""
+    from ontoemma_spark.operators.ann import embedding_neardup_pairs
+    from ontoemma_spark.operators.dedup import resolve_duplicate_clusters
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),      # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(emb, min_cos=0.95, exact=True).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    res = {
+        r["vec_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in resolve_duplicate_clusters(
+            emb, pairs, id_col="vec_id"
+        ).collect()
+    }
+    assert res[2] == (1, False) and res[4] == (3, False)
+    assert res[1] == (1, True) and res[3] == (3, True) and res[5] == (5, True)
