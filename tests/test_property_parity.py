@@ -220,3 +220,77 @@ def test_greedy_matching_properties(spark, pairs):
     used_s, used_t = set(ss), set(ts)
     for s_, t_ in all_pairs:  # maximality
         assert s_ in used_s or t_ in used_t
+
+
+def py_lsh_dedup(docs, w, num_hashes, bands, min_jaccard):
+    """Pure-python twin of the full LSH near-dup chain:
+    shingle → seeded-md5 minhash → band buckets → exact-jaccard rescore."""
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    shingles = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        shingles[doc_id] = (
+            {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+            if len(toks) >= w else set()
+        )
+    sigs = {
+        d: [min(md5(f"{k}:{s}") for s in sh) for k in range(num_hashes)]
+        for d, sh in shingles.items() if sh
+    }
+    rows_per_band = num_hashes // bands
+    buckets = {}
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = (b, md5("|".join(sig[b * rows_per_band:(b + 1) * rows_per_band])))
+            buckets.setdefault(key, []).append(d)
+    cands = {
+        (a, b)
+        for ids in buckets.values()
+        for a in ids for b in ids if a < b
+    }
+    out = set()
+    for a, b in cands:
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= min_jaccard:
+            out.add((a, b))
+    return out
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(WORDS, min_size=2, max_size=25))
+def test_lsh_chain_matches_python(spark, docs_words):
+    """The full banded LSH + rescore chain (cached shingles, exploded
+    minhash, band join, exact-jaccard rescore) must agree with the
+    python spec — including gram-less docs, which must emit nothing."""
+    from ontoemma_spark.operators.dedup import (
+        cached_shingle_signatures,
+        lsh_candidate_pairs,
+        rescore_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    expected = py_lsh_dedup(rows, w=2, num_hashes=4, bands=2, min_jaccard=0.5)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh, sig = cached_shingle_signatures(docs, w=2, num_hashes=4)
+    try:
+        cand = lsh_candidate_pairs(sig, num_hashes=4, bands=2)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in rescore_jaccard_pairs(cand, sh, 0.5).collect()
+        }
+    finally:
+        sh.unpersist()
+        sig.unpersist()
+    assert got == expected
