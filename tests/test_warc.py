@@ -1,0 +1,69 @@
+"""Distributed WARC source: round-trip, gzip members, python-twin
+parity, and integration with the extract stage."""
+
+import gzip
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ontoemma_spark.sources.warc import load_warc, parse_warc_bytes, write_warc
+
+ROWS = [
+    ("http://a.example/x", datetime(2026, 1, 17, 8, 51, 2),
+     b"<html><body><p>Hello world from page one.</p></body></html>"),
+    ("http://b.example/y", datetime(2026, 2, 3, 12, 0, 0),
+     b"<html><body><div>Second page text here.</div></body></html>"),
+    ("http://c.example/z", datetime(2026, 3, 5, 1, 2, 3),
+     "<html><body>unicode éè page</body></html>".encode()),
+]
+
+
+def _write_archives(tmp_path, gzip_members):
+    d = tmp_path / ("gz" if gzip_members else "plain")
+    d.mkdir()
+    ext = ".warc.gz" if gzip_members else ".warc"
+    # two archives to prove file-level parallelism/unioning
+    with open(d / f"part1{ext}", "wb") as f:
+        # a warcinfo record first — must be skipped
+        info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        f.write(gzip.compress(info) if gzip_members else info)
+        write_warc(ROWS[:2], f, gzip_members=gzip_members)
+    with open(d / f"part2{ext}", "wb") as f:
+        write_warc(ROWS[2:], f, gzip_members=gzip_members)
+    return str(d)
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    for gz in (False, True):
+        path = _write_archives(tmp_path, gz)
+        got = {r["url"]: r for r in load_warc(spark, path).collect()}
+        assert set(got) == {u for u, _, _ in ROWS}
+        for url, ts, html in ROWS:
+            assert bytes(got[url]["html"]) == html
+            assert got[url]["warc_ts"] == ts
+            assert got[url]["text"] is None and got[url]["lang"] is None
+
+
+def test_warc_python_twin_parity(tmp_path):
+    import io
+
+    buf = io.BytesIO()
+    write_warc(ROWS, buf, gzip_members=True)
+    rows = parse_warc_bytes(buf.getvalue())
+    assert [(r[0], r[1], r[2]) for r in rows] == ROWS
+
+
+def test_warc_feeds_extract_stage(spark, tmp_path):
+    """WARC pages slot straight into the pipeline's extract input:
+    text is null, so coalesce(text, extract_text_col(html)) fills it."""
+    from ontoemma_spark.extract.html_text import extract_text_col, extract_text_py
+
+    path = _write_archives(tmp_path, True)
+    pages = load_warc(spark, path)
+    with_text = pages.withColumn(
+        "text", F.coalesce(F.col("text"), extract_text_col("html"))
+    )
+    got = {r["url"]: r["text"] for r in with_text.collect()}
+    for url, _, html in ROWS:
+        assert got[url] == extract_text_py(html)
+    assert "Hello world" in got["http://a.example/x"]
