@@ -47,7 +47,19 @@ def main() -> None:
     else:
         if not (args.pages and args.kb):
             ap.error("--pages and --kb are required without --synthetic")
-        pages = spark.read.parquet(args.pages)
+        import glob as _glob
+
+        if args.pages.endswith((".warc", ".warc.gz")):
+            from ontoemma_spark.sources.warc import load_warc
+
+            pages = load_warc(spark, args.pages)
+        elif _glob.glob(os.path.join(args.pages, "*.warc*")):
+            from ontoemma_spark.sources.warc import load_warc
+
+            # glob only the archives — the directory may hold other data
+            pages = load_warc(spark, os.path.join(args.pages, "*.warc*"))
+        else:
+            pages = spark.read.parquet(args.pages)
         kb = spark.read.parquet(args.kb)
 
     manifest = run_pipeline(spark, pages, kb, args.out, threshold=args.threshold)
