@@ -134,7 +134,11 @@ def load_warc(spark: SparkSession, path: str) -> DataFrame:
                     out["html"].append(html)
                     out["text"].append(text)
                     out["lang"].append(lang)
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            # empty batches infer float64 for the ts column, which Arrow
+            # cannot cast to timestamp — coerce explicitly
+            pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"])
+            yield pdf_out
 
     return files.mapInPandas(parse, schema=PAGES_SCHEMA)
 

@@ -67,3 +67,32 @@ def test_warc_feeds_extract_stage(spark, tmp_path):
     for url, _, html in ROWS:
         assert got[url] == extract_text_py(html)
     assert "Hello world" in got["http://a.example/x"]
+
+
+def test_warc_corrupt_archives_do_not_kill_the_scan(spark, tmp_path):
+    """Truncated payloads, garbage bytes, and bad lengths: parse what
+    is parseable, stop cleanly at the first malformed record."""
+    import io
+
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    # archive 1: one good record, then garbage
+    buf = io.BytesIO()
+    write_warc(ROWS[:1], buf)
+    (d / "a.warc").write_bytes(buf.getvalue() + b"\x00garbage not a record")
+    # archive 2: record with a lying Content-Length (truncated payload)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://t.example/\r\n"
+           b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"Content-Length: 999999\r\n\r\nshort")
+    (d / "b.warc").write_bytes(rec)
+    # archive 3: non-numeric length
+    (d / "c.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\nx")
+
+    got = load_warc(spark, str(d)).collect()
+    urls = {r["url"] for r in got}
+    assert "http://a.example/x" in urls          # the good record survives
+    # the truncated record yields whatever payload bytes exist (slice
+    # semantics) — the scan itself must not raise
+    assert all(r["url"] for r in got)
