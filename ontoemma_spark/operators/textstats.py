@@ -233,3 +233,12 @@ def source_rollup(
         "avg_quality",
         "high_quality_share",
     )
+
+
+def host_of(url_col) -> F.Column:
+    """Registrable host of a URL (native parse_url — no Python), the
+    grouping key for web-corpus host-level rollups: pages from WARC
+    have no `source` column, so `source_rollup(pages.withColumn(
+    'source', host_of('url')), ...)` is the per-host filtering path."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(F.parse_url(c, F.lit("HOST")))

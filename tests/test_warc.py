@@ -96,3 +96,20 @@ def test_warc_corrupt_archives_do_not_kill_the_scan(spark, tmp_path):
     # the truncated record yields whatever payload bytes exist (slice
     # semantics) — the scan itself must not raise
     assert all(r["url"] for r in got)
+
+
+def test_host_rollup_over_warc_pages(spark, tmp_path):
+    """WARC pages → host extraction → source_rollup: the per-host
+    filtering path for raw webtext (no source column needed)."""
+    from ontoemma_spark.operators.textstats import host_of, source_rollup
+
+    path = _write_archives(tmp_path, True)
+    pages = load_warc(spark, path)
+    docs = pages.select(
+        F.col("url").alias("doc_id"),
+        host_of("url").alias("source"),
+        F.col("html").cast("string").alias("text"),
+    )
+    got = {r["source"]: r for r in source_rollup(docs).collect()}
+    assert set(got) == {"a.example", "b.example", "c.example"}
+    assert all(r["n_docs"] == 1 and r["dup_rate"] == 0.0 for r in got.values())
