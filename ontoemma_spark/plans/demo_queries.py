@@ -3272,6 +3272,34 @@ FROM ents e LEFT JOIN deg d USING (research_entity_id)
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, callable] = {
+    # ------------------------------------------------------------------
+    # Rotation note (round 4): the external correctness driver checks the
+    # FIRST 50 entries of this dict per round.  Keep never- or
+    # least-recently-driver-verified queries at the FRONT: new queries go
+    # first, then queries whose last green driver row is oldest, then the
+    # rest (those stay pinned by tests/test_entry_oracle.py, which runs
+    # the identical DuckDB comparison over ALL entries at sf0.01).
+    # Front block as of r4: 10 queries added late in r3 (never
+    # driver-verified) + 7 queries last driver-green in r2.
+    # ------------------------------------------------------------------
+    "umls_rrf_load": q_umls_rrf_load,
+    "remaining_entities": q_remaining_entities,
+    "global_sort_topk": q_global_sort_topk,
+    "modh_greedy": q_modh_greedy,
+    "ann_ivf_probe": q_ann_ivf_probe,
+    "event_dedup": q_event_dedup,
+    "embedding_neardup": q_embedding_neardup,
+    "context_enrich": q_context_enrich,
+    "observe_counts": q_observe_counts,
+    "umls_pipeline": q_umls_pipeline,
+    "dbpedia_load": q_dbpedia_load,
+    "training_jsonlines_roundtrip": q_training_jsonlines_roundtrip,
+    "relation_classes": q_relation_classes,
+    "umls_definitions": q_umls_definitions,
+    "pair_features": q_pair_features,
+    "lr_scores": q_lr_scores,
+    "edge_validate": q_edge_validate,
+    # --- r3-driver-green block (rotate forward again if they go stale) --
     "kb_normalize": q_kb_normalize,
     "token_idf": q_token_idf,
     "blocking_candidates": q_blocking_candidates,
@@ -3322,23 +3350,6 @@ QUERIES: dict[str, callable] = {
     "kb_validate_filter": q_kb_validate_filter,
     "kb_json_roundtrip": q_kb_json_roundtrip,
     "mesh_load": q_mesh_load,
-    "dbpedia_load": q_dbpedia_load,
-    "training_jsonlines_roundtrip": q_training_jsonlines_roundtrip,
-    "relation_classes": q_relation_classes,
-    "umls_definitions": q_umls_definitions,
-    "pair_features": q_pair_features,
-    "lr_scores": q_lr_scores,
-    "edge_validate": q_edge_validate,
-    "umls_rrf_load": q_umls_rrf_load,
-    "remaining_entities": q_remaining_entities,
-    "global_sort_topk": q_global_sort_topk,
-    "modh_greedy": q_modh_greedy,
-    "ann_ivf_probe": q_ann_ivf_probe,
-    "event_dedup": q_event_dedup,
-    "embedding_neardup": q_embedding_neardup,
-    "context_enrich": q_context_enrich,
-    "observe_counts": q_observe_counts,
-    "umls_pipeline": q_umls_pipeline,
 }
 
 ORACLES: dict[str, str] = {
