@@ -18,9 +18,19 @@ opaque binary for the extract stage (extract/html_text.py) and `text`
 stays null so the pipeline's `coalesce(text, extract_text_col(html))`
 fills it.
 
-Member-gzip archives (each record its own gzip member — the CC
-layout) and plain-gzip and uncompressed files are all handled:
-gzip.decompress consumes concatenated members.
+Memory shape (the production constraint): a ~1 GiB gzipped CC archive
+expands ~4-5×. The scanner therefore NEVER materializes the
+decompressed archive: records are read through a streaming
+`gzip.GzipFile` (member-by-member for CC's member-gzip layout,
+single-stream for plain gzip, passthrough for uncompressed), and rows
+are flushed as bounded-size Arrow batches (`rows_per_batch`) from the
+`mapInPandas` iterator. Peak per-task memory is the COMPRESSED archive
+(binaryFile hands the task one byte array) plus one batch of rows —
+not compressed + decompressed + all rows. The remaining hard limit is
+binaryFile's JVM byte-array cap (2 GiB per file); `load_warc` checks
+archive sizes from the listing (column-pruned, no content read) and
+fails with an actionable message instead of a mid-scan JVM error —
+split oversized archives upstream (CC's own are ~1 GiB).
 
 No reference counterpart (the reference ingests ontologies, not web
 archives); this is the S-north pages-scan source materialized from
@@ -29,6 +39,8 @@ the archive format instead of parquet.
 
 from __future__ import annotations
 
+import io
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
 from email.utils import parsedate_to_datetime
@@ -36,27 +48,57 @@ import gzip
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
+# Keep comfortably under the JVM's Integer.MAX_VALUE byte-array cap that
+# bounds what binaryFile can hand a task as one `content` value.
+_BINARYFILE_MAX_BYTES = 2_000_000_000
 
-def _split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (headers, payload) per WARC record from one archive."""
-    pos = 0
-    n = len(raw)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and raw[pos : pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
-        head_end = raw.find(b"\r\n\r\n", pos)
-        if head_end < 0 or not raw[pos : pos + 5].startswith(b"WARC/"):
+# Default rows per emitted Arrow batch: bounds task memory to one batch
+# of pages (~2k pages × ~50 KiB html ≈ 100 MiB) regardless of archive
+# size. Aligned with spark.sql.execution.arrow.maxRecordsPerBatch's
+# order of magnitude.
+_ROWS_PER_BATCH = 2048
+
+
+def _open_stream(raw: bytes | io.IOBase):
+    """File-like view of an archive: gzip-detect and wrap WITHOUT
+    decompressing up front. GzipFile reads concatenated members
+    incrementally — CC's record-per-member layout and plain gzip both
+    stream through it member by member."""
+    stream = io.BytesIO(raw) if isinstance(raw, (bytes, bytearray)) else raw
+    head = stream.read(2)
+    stream.seek(-len(head), io.SEEK_CUR)
+    if head == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=stream)
+    return stream
+
+
+def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record from a file-like object
+    of (decompressed) archive bytes, reading incrementally — at no point
+    is more than one record's payload held. Stops cleanly at the first
+    malformed record (garbage preamble / non-numeric length) so corrupt
+    archives degrade to their parseable prefix."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):  # inter-record blank lines
+            continue
+        if not line.startswith(b"WARC/"):
             return
         headers: dict[str, str] = {}
-        for line in raw[pos:head_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            if _:
+        while True:
+            line = stream.readline()
+            if not line or line in (b"\r\n", b"\n"):
+                break
+            k, sep, v = line.partition(b":")
+            if sep:
                 headers[k.decode("ascii", "replace").strip().lower()] = (
                     v.decode("utf-8", "replace").strip()
                 )
@@ -64,9 +106,10 @@ def _split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return  # malformed length: stop scanning this archive
-        body_start = head_end + 4
-        yield headers, raw[body_start : body_start + length]
-        pos = body_start + length
+        body = stream.read(length)
+        yield headers, body
+        if len(body) < length:  # truncated final record
+            return
 
 
 def _http_payload(body: bytes) -> bytes:
@@ -87,60 +130,111 @@ def _parse_ts(value: str):
         ).replace(tzinfo=None)
     except ValueError:
         try:
-            return parsedate_to_datetime(value).astimezone(timezone.utc).replace(
-                tzinfo=None
-            )
+            dt = parsedate_to_datetime(value)
         except (TypeError, ValueError):
             return None
+        if dt.tzinfo is None:
+            # e.g. '-0000' parses tz-naive; pinning UTC keeps the value
+            # machine-independent (astimezone on naive would use the
+            # executor's LOCAL zone — non-deterministic across a cluster)
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
 
 
-def parse_warc_bytes(raw: bytes) -> list[tuple]:
-    """Pure-python archive → pages rows (the per-task kernel; also the
-    twin the tests pin against). Handles gzip (incl. concatenated
-    members) transparently."""
-    if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)
-    rows = []
-    for headers, body in _split_records(raw):
+def parse_warc_rows(raw: bytes | io.IOBase) -> Iterator[tuple]:
+    """Streaming archive → pages-row generator (the per-task kernel).
+    Corrupt gzip data (bad member header, truncated stream) ends the
+    scan after the rows already parsed instead of failing the task."""
+    records = iter_warc_records(_open_stream(raw))
+    while True:
+        try:
+            headers, body = next(records)
+        except StopIteration:
+            return
+        except (OSError, EOFError, zlib.error):
+            return  # corrupt compressed data: keep the parseable prefix
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
         if not url:
             continue
-        rows.append(
-            (url, _parse_ts(headers.get("warc-date", "")), _http_payload(body),
-             None, None)
-        )
-    return rows
+        yield (url, _parse_ts(headers.get("warc-date", "")),
+               _http_payload(body), None, None)
 
 
-def load_warc(spark: SparkSession, path: str) -> DataFrame:
+def parse_warc_bytes(raw: bytes) -> list[tuple]:
+    """Pure-python archive → pages rows (the twin the tests pin the
+    distributed scan against; materializes — use parse_warc_rows for
+    the streaming form)."""
+    return list(parse_warc_rows(raw))
+
+
+_COLS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def _flush(rows: list[tuple]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=_COLS)
+    # empty/None-only ts columns infer float64, which Arrow cannot cast
+    # to timestamp — coerce explicitly
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    return pdf
+
+
+def load_warc(
+    spark: SparkSession, path: str, rows_per_batch: int = _ROWS_PER_BATCH
+) -> DataFrame:
     """Pages table from a directory/glob of .warc / .warc.gz archives.
 
     Parallelism = one task per archive file (binaryFile source), the
-    production CC sharding unit; each task runs the pure-python record
-    scanner and emits Arrow batches. At 10^12 pages you have ~10^5
-    archives per crawl — ample task parallelism with zero shuffle.
+    production CC sharding unit; each task streams the archive through
+    the python record scanner and emits bounded Arrow batches
+    (`rows_per_batch` pages each — see the module docstring's memory
+    shape). At 10^12 pages you have ~10^5 archives per crawl — ample
+    task parallelism with zero shuffle.
     """
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    files = spark.read.format("binaryFile").load(path)
+    # binaryFile holds each file as ONE JVM byte array (2 GiB hard cap).
+    # The listing carries `length`, so this check prunes `content` and
+    # reads no file bytes; failing here beats an opaque mid-scan error.
+    oversized = (
+        files.select("path", "length")
+        .where(F.col("length") > _BINARYFILE_MAX_BYTES)
+        .limit(3)
+        .collect()
+    )
+    if oversized:
+        names = ", ".join(r["path"] for r in oversized)
+        raise ValueError(
+            f"WARC archives exceed binaryFile's 2 GiB per-file cap: {names} "
+            "— split them (Common Crawl's own archives are ~1 GiB; "
+            "`gzip -dc big.warc.gz | split` then re-gzip, or re-shard at "
+            "the crawler)."
+        )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-            for content in pdf["content"]:
-                for url, ts, html, text, lang in parse_warc_bytes(bytes(content)):
-                    out["url"].append(url)
-                    out["warc_ts"].append(ts)
-                    out["html"].append(html)
-                    out["text"].append(text)
-                    out["lang"].append(lang)
-            pdf_out = pd.DataFrame(out)
-            # empty batches infer float64 for the ts column, which Arrow
-            # cannot cast to timestamp — coerce explicitly
-            pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"])
-            yield pdf_out
+            yield from batched_pages(
+                (bytes(c) for c in pdf["content"]), rows_per_batch
+            )
 
-    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+    return files.select("content").mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+def batched_pages(
+    contents: Iterator[bytes], rows_per_batch: int
+) -> Iterator[pd.DataFrame]:
+    """The per-task body of load_warc's mapInPandas: stream archives →
+    bounded-size pandas batches (exported so tests can pin the batch
+    shape without a Spark job)."""
+    buf: list[tuple] = []
+    for content in contents:
+        for row in parse_warc_rows(content):
+            buf.append(row)
+            if len(buf) >= rows_per_batch:
+                yield _flush(buf)
+                buf = []
+    if buf:
+        yield _flush(buf)
 
 
 def write_warc(rows: list[tuple], fileobj, gzip_members: bool = False) -> None:

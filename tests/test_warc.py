@@ -113,3 +113,73 @@ def test_host_rollup_over_warc_pages(spark, tmp_path):
     got = {r["source"]: r for r in source_rollup(docs).collect()}
     assert set(got) == {"a.example", "b.example", "c.example"}
     assert all(r["n_docs"] == 1 and r["dup_rate"] == 0.0 for r in got.values())
+
+
+def test_warc_streaming_batches_are_bounded(tmp_path):
+    """A multi-member archive larger than rows_per_batch emits MULTIPLE
+    bounded pandas batches — the scan never holds all rows (the ~1 GiB
+    CC archive memory-shape fix)."""
+    import io
+
+    from ontoemma_spark.sources.warc import batched_pages, parse_warc_rows
+
+    many = [
+        (f"http://m.example/{i}", datetime(2026, 1, 1, 0, 0, i % 60),
+         f"<html><body>page {i}</body></html>".encode())
+        for i in range(25)
+    ]
+    buf = io.BytesIO()
+    write_warc(many, buf, gzip_members=True)
+    raw = buf.getvalue()
+
+    batches = list(batched_pages(iter([raw]), rows_per_batch=10))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    flat = [tuple(r) for b in batches for r in b[["url", "html"]].itertuples(index=False)]
+    assert flat == [(u, h) for u, _, h in many]
+
+    # and the row scanner is genuinely lazy: first row comes out without
+    # consuming the archive
+    gen = parse_warc_rows(raw)
+    first = next(gen)
+    assert first[0] == "http://m.example/0"
+
+
+def test_warc_rfc2822_date_is_tz_stable(monkeypatch):
+    """'-0000' RFC-2822 dates parse tz-naive; the fallback must pin UTC,
+    not the executor's local zone."""
+    import os
+    import time
+
+    from ontoemma_spark.sources.warc import _parse_ts
+
+    monkeypatch.setenv("TZ", "Pacific/Kiritimati")  # UTC+14, no DST
+    time.tzset()
+    try:
+        got = _parse_ts("Mon, 17 Aug 2026 08:00:00 -0000")
+        assert got == datetime(2026, 8, 17, 8, 0, 0)
+        assert _parse_ts("Mon, 17 Aug 2026 08:00:00 +0200") == datetime(
+            2026, 8, 17, 6, 0, 0
+        )
+    finally:
+        monkeypatch.delenv("TZ", raising=False)
+        os.environ.pop("TZ", None)
+        time.tzset()
+
+
+def test_warc_oversized_archive_fails_actionably(spark, tmp_path, monkeypatch):
+    """Archives over binaryFile's 2 GiB cap are rejected at listing time
+    with a split-your-archives message, not a mid-scan JVM error."""
+    import io
+
+    import pytest
+
+    import ontoemma_spark.sources.warc as w
+
+    d = tmp_path / "big"
+    d.mkdir()
+    buf = io.BytesIO()
+    write_warc(ROWS[:1], buf)
+    (d / "a.warc").write_bytes(buf.getvalue())
+    monkeypatch.setattr(w, "_BINARYFILE_MAX_BYTES", 10)  # pretend tiny cap
+    with pytest.raises(ValueError, match="2 GiB per-file cap"):
+        w.load_warc(spark, str(d))
