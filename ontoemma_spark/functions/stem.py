@@ -400,6 +400,14 @@ def snowball_stem(word: str) -> str:  # noqa: C901 - the spec is a rulebook
 # biomedical ontology names), then the morphy substitutions longest-
 # suffix-first, with the -ves rule whitelisted (morphy's index filter
 # is what stops "curves"→"curf"; the whitelist plays that role).
+#
+# Deliberate divergences from NLTK's pick: where noun.exc lists several
+# lemmas for one form, NLTK returns the MIN-LENGTH one ("axes ax axis"
+# → "ax"); this table keeps the biomedical/geometric reading instead
+# ("axes"→"axis", "bases"→"basis") because ontology names are the
+# workload — same class of judgment call as the "species"→"specie"
+# coordination caveat below. F8 parity is therefore approximate on
+# these multi-lemma forms.
 
 _LEMMA_EXCEPTIONS = {
     # irregular English plurals (WordNet noun.exc, public data)

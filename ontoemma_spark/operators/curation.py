@@ -75,6 +75,10 @@ def mixture_sample(
 
     Scale: weights is sources-sized (thousands of hosts at most) →
     broadcast; the draw is narrow. No shuffle of the corpus.
+
+    Sources with no weights row are KEPT (weight 1.0): dropping whole
+    sources because the weights table is partial would be silent data
+    loss — pass weight 0.0 explicitly to exclude a source.
     """
     # weight → 8-hex-digit threshold; weight ≥ 1.0 would need 9 digits
     # ('100000000'), so it maps to a sentinel above every hex draw.
@@ -100,8 +104,8 @@ def mixture_sample(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
     )
     return (
-        docs.join(F.broadcast(w), source_col)
-        .filter(draw < F.col("_thresh"))
+        docs.join(F.broadcast(w), source_col, "left")
+        .filter(draw < F.coalesce(F.col("_thresh"), F.lit("zzzzzzzz")))
         .drop("_thresh")
     )
 
@@ -156,8 +160,12 @@ def pack_sequences(
         toks.alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)  # null/empty text has nothing to pack
 
+    # doc_id keeps the caller's id type (url-keyed WARC pages are
+    # strings; the synthetic tables use bigint) — packing is id-type-
+    # agnostic, only the sort order matters.
+    id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
-        "grp bigint, bin_idx bigint, doc_id bigint, n_tokens bigint, "
+        f"grp bigint, bin_idx bigint, doc_id {id_type}, n_tokens bigint, "
         "bin_fill bigint"
     )
 

@@ -229,3 +229,39 @@ def test_curate_cli_partial_weights_fill(tmp_path):
     # 400 docs: 8 benchmark docs self-contaminated (4 src0 + 4 src2);
     # weight 0.0 removes the remaining 96 src0 docs; src1-3 keep 1.0
     assert stats["docs_packed"] == 400 - 8 - 96
+
+
+def test_mixture_sample_keeps_unweighted_sources(spark):
+    """A source with no weights row is kept at weight 1.0 (partial
+    weights tables must not silently drop whole sources); weight 0.0
+    is the explicit way to exclude one."""
+    from ontoemma_spark.operators.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "covered" if i % 2 == 0 else "uncovered", f"t{i}")
+         for i in range(40)],
+        "doc_id bigint, source string, text string",
+    )
+    weights = spark.createDataFrame(
+        [("covered", 0.0)], "source string, weight double"
+    )
+    got = mixture_sample(docs, weights)
+    srcs = {r["source"] for r in got.collect()}
+    assert srcs == {"uncovered"}
+    assert got.count() == 20  # every uncovered doc survives (w=1.0)
+
+
+def test_pack_sequences_string_doc_ids(spark):
+    """URL-keyed corpora (e.g. WARC pages) pack fine: the output doc_id
+    type follows the input id column."""
+    from ontoemma_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(f"http://h/{i:03d}", "w " * (i % 7 + 1)) for i in range(30)],
+        "doc_id string, text string",
+    )
+    got = pack_sequences(docs, max_tokens=10, n_groups=2)
+    assert dict(got.dtypes)["doc_id"] == "string"
+    rows = got.collect()
+    assert len(rows) == 30
+    assert all(r["bin_fill"] <= 10 or r["n_tokens"] > 10 for r in rows)
