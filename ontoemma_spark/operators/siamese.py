@@ -23,9 +23,11 @@ documented:
     (exact same math; LSTM uses torch's i,f,g,o gate order so a
     reference-trained state_dict maps 1:1 via from_allennlp_state);
   * the pretrained GloVe-style table (data/embeddings/weights300.txt.gz,
-    external data) is replaced by deterministic hashed embeddings
-    (seeded per token) — load_word_embeddings() is the seam where a
-    real table plugs in;
+    external data) is not shipped in the sandbox —
+    load_word_embeddings(path) READS the reference's file format
+    (GloVe text, optionally gzipped) when the user supplies it, with
+    deterministic hashed vectors standing in for the table when absent
+    and for OOV tokens;
   * dropout is inference-mode (identity), matching model.eval().
 
 Inference runs as iterator mapInPandas: weights realized once per
@@ -38,6 +40,7 @@ models, batch_size semantics per emma/OntoEmma.py:737,766-797.
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 from typing import Iterator
 
@@ -87,16 +90,53 @@ class _EmbeddingCache:
         return v
 
 
-def load_word_embeddings(path: str | None = None) -> _EmbeddingCache:
+class _TableEmbedding(_EmbeddingCache):
+    """Pretrained word table with the deterministic hashed fallback for
+    OOV tokens (AllenNLP backfills OOV with random vectors at load; the
+    hashed stand-in keeps that reproducible across executors)."""
+
+    def __init__(self, table: dict[str, np.ndarray], dim: int, salt: str):
+        super().__init__(dim, salt)
+        self.table = table
+
+    def __call__(self, token: str) -> np.ndarray:
+        v = self.table.get(token)
+        return v if v is not None else super().__call__(token)
+
+
+def load_word_embeddings(
+    path: str | None = None, dim: int = WORD_DIM
+) -> _EmbeddingCache:
     """Seam for the reference's pretrained 300-d table
-    (config/ontoemma_nn_all.json:27 weights300.txt.gz). Without a path
-    the deterministic hashed table is used."""
-    if path is not None:
-        raise NotImplementedError(
-            "plug a pretrained embedding table reader here (word<TAB>vec "
-            "text format); the sandbox ships no embedding data"
-        )
-    return _EmbeddingCache(WORD_DIM, "word300")
+    (config/ontoemma_nn_all.json:27 weights300.txt.gz, GloVe text
+    format: `word v1 .. v300` per line, space- or tab-separated,
+    optionally gzipped; an optional word2vec-style `count dim` header
+    line is skipped). Without a path the deterministic hashed table is
+    used.
+
+    Vectors load as float32 — a full 2.2M-word GloVe table is ~2.6 GiB
+    at f32 vs 5+ at f64; it rides to executors inside the task closure
+    like the model weights, realized once per partition.
+    """
+    if path is None:
+        return _EmbeddingCache(dim, "word300")
+    table: dict[str, np.ndarray] = {}
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        for ln, line in enumerate(f):
+            parts = line.rstrip("\r\n").replace("\t", " ").split(" ")
+            if ln == 0 and len(parts) == 2:
+                continue  # word2vec header: "<vocab_size> <dim>"
+            if len(parts) < 2:
+                continue  # blank/stray line
+            word, vals = parts[0], [p for p in parts[1:] if p]
+            if len(vals) != dim:
+                raise ValueError(
+                    f"{path} line {ln + 1}: {len(vals)} dims for "
+                    f"{word!r}, model expects {dim}"
+                )
+            table[word] = np.asarray(vals, dtype=np.float32)
+    return _TableEmbedding(table, dim, "word300")
 
 
 def _relu(x: np.ndarray) -> np.ndarray:
@@ -321,7 +361,12 @@ class SiameseScorer:
     # ---- weight construction -------------------------------------------
 
     @classmethod
-    def seeded(cls, feature_names: list[str], seed: int = 11) -> "SiameseScorer":
+    def seeded(
+        cls,
+        feature_names: list[str],
+        seed: int = 11,
+        words: _EmbeddingCache | None = None,
+    ) -> "SiameseScorer":
         """Deterministic random weights with the exact reference shapes
         (the stand-in for a trained archive; orthogonal-ish scaling so
         activations stay in range)."""
@@ -357,7 +402,8 @@ class SiameseScorer:
 
         siamese = ff(list(SIAMESE_DIMS), ["relu", "relu"])
         decision = ff([DECISION_IN, DECISION_IN, 1], ["relu", "linear"])
-        return cls(char_cnn, name_enc, def_enc, siamese, decision, feature_names)
+        return cls(char_cnn, name_enc, def_enc, siamese, decision,
+                   feature_names, words=words)
 
     def to_allennlp_state(self) -> dict[str, list]:
         """Export the weights under the same AllenNLP parameter names

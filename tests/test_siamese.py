@@ -229,3 +229,58 @@ def test_state_export_round_trip():
     m2 = SiameseScorer.from_allennlp_state(state, FEATS)
     args = _inputs(3)
     assert np.allclose(m.forward(*args), m2.forward(*args), atol=0)
+
+
+def test_pretrained_embedding_table_fixture(tmp_path):
+    """A user with the reference's actual weights300.txt.gz drops it in
+    at the load_word_embeddings seam: GloVe text format (space-sep,
+    gzipped, optional word2vec header), float32 vectors, hashed OOV
+    fallback — and scores shift accordingly (config/
+    ontoemma_nn_all.json:22-87 pretrained_file)."""
+    import gzip as _gz
+
+    from ontoemma_spark.operators.siamese import (
+        WORD_DIM,
+        load_word_embeddings,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "entity", "definition"]
+    path = tmp_path / "weights300.txt.gz"
+    with _gz.open(path, "wt", encoding="utf-8") as f:
+        f.write(f"{len(vocab)} {WORD_DIM}\n")  # word2vec-style header
+        for w in vocab:
+            vec = rng.normal(0, 0.3, size=WORD_DIM)
+            f.write(w + " " + " ".join(f"{v:.6f}" for v in vec) + "\n")
+
+    words = load_word_embeddings(str(path))
+    assert set(words.table) == set(vocab)
+    assert words("alpha").shape == (WORD_DIM,)
+    assert words("alpha").dtype == np.float32
+    # OOV falls back to the deterministic hashed vector
+    hashed = load_word_embeddings()
+    assert np.allclose(words("zzz-oov"), hashed("zzz-oov"))
+    assert not np.allclose(words("alpha"), hashed("alpha"))
+
+    # inference end-to-end with the table: deterministic, and different
+    # from the hashed-table scores for in-vocab names
+    m_table = SiameseScorer.seeded(FEATS, seed=11, words=words)
+    m_hash = SiameseScorer.seeded(FEATS, seed=11)
+    args = _inputs(3)
+    s1 = m_table.forward(*args)
+    s2 = SiameseScorer.seeded(FEATS, seed=11, words=load_word_embeddings(str(path))).forward(*args)
+    assert np.allclose(s1, s2)
+    assert s1.shape == (3,)
+    assert ((s1 >= 0) & (s1 <= 1)).all()
+    assert not np.allclose(s1, m_hash.forward(*args))
+
+
+def test_pretrained_embedding_table_rejects_bad_dims(tmp_path):
+    import pytest as _pt
+
+    from ontoemma_spark.operators.siamese import load_word_embeddings
+
+    p = tmp_path / "bad.txt"
+    p.write_text("word 0.1 0.2 0.3\n")
+    with _pt.raises(ValueError, match="3 dims"):
+        load_word_embeddings(str(p))
