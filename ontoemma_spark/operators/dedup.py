@@ -227,6 +227,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_pairs(
+    docs: DataFrame,
+    w: int = 20,
+    min_shared: int = 1,
+    max_gram_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplicate detection (the CC-Net / "Deduplicating
+    Training Data Makes Language Models Better" complement to
+    document-LEVEL MinHash-LSH): two docs pair when they share at least
+    min_shared distinct w-word grams (w=20 ≈ the 50-token overlap
+    regime those pipelines target, scaled to this corpus). Catches a
+    long passage copied INTO an otherwise-different document — exactly
+    the case whole-document signatures dilute below any LSH threshold.
+
+    Plan shape at 10^12 docs:
+      * gram extraction is NARROW (in-row transform + array_distinct +
+        explode — no shuffle, no window);
+      * the pair step is an EQUI-self-join on the gram hash, i.e.
+        banded by construction: fan-out per gram = its doc frequency,
+        never all-pairs; both sides are the identical subplan, so the
+        shuffle is planned once (ReusedExchange);
+      * boilerplate grams (license headers, nav chrome) are the skew
+        path — max_gram_df drops grams seen in more than that many
+        docs via a broadcast ANTI-join (the hot-gram set is tiny by
+        definition: only grams above the cap). A dropped gram is one
+        you don't want pairing on anyway; a 10^6-doc boilerplate gram
+        would otherwise emit 10^12 pair rows.
+
+    Returns (doc_a, doc_b, n_shared_grams), doc_a < doc_b.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingle_array(text_col, w), lambda s: F.md5(s))
+            )
+        ).alias("g"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("gdf"))
+            .filter(F.col("gdf") > max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    pairs = (
+        grams.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    if min_shared > 1:
+        pairs = pairs.filter(F.col("n_shared_grams") >= min_shared)
+    return pairs
+
+
 def ngram_jaccard_pairs_auto(
     docs: DataFrame,
     text_col: str = "text",

@@ -792,6 +792,38 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_MIN!r}
 """
 
 
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (CC-Net / dedup-makes-LMs-better style,
+    complement to document-level LSH): doc pairs sharing ≥1 distinct
+    20-word gram, with the shared-gram count. Narrow in-row gram
+    extraction; the pair step is a banded equi-self-join on the gram
+    hash (never all-pairs; hot-gram broadcast anti-join guard at
+    scale — see dedup.substring_dup_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.substring_dup_pairs(docs, w=20).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        F.col("n_shared_grams"),
+    )
+
+
+# w=20 grams: slice t[i : i+19] is 20 tokens (DuckDB slices are
+# end-inclusive); i ranges 1 .. len(t)-20+1, range() upper bound is
+# exclusive → len(t)-18.
+SQL_SUBSTRING_DUP_PAIRS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 19], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS i
+        FROM d WHERE len(t) >= 20)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       count(*) AS n_shared_grams
+FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # 20. ann_cosine — brute-force cosine vs a fixed query vector
 # ---------------------------------------------------------------------------
@@ -3279,9 +3311,10 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r4: 10 queries added late in r3 (never
-    # driver-verified) + 7 queries last driver-green in r2.
+    # Front block as of r4: new-in-r4 queries, then 10 queries added
+    # late in r3 (never driver-verified), then 7 last driver-green in r2.
     # ------------------------------------------------------------------
+    "substring_dup_pairs": q_substring_dup_pairs,
     "umls_rrf_load": q_umls_rrf_load,
     "remaining_entities": q_remaining_entities,
     "global_sort_topk": q_global_sort_topk,
@@ -3373,6 +3406,7 @@ ORACLES: dict[str, str] = {
     "dedup_resolve": SQL_DEDUP_RESOLVE,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
+    "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "ann_cosine": SQL_ANN_COSINE,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,

@@ -469,3 +469,37 @@ def test_embedding_neardup_composes_with_resolve(spark):
     }
     assert res[2] == (1, False) and res[4] == (3, False)
     assert res[1] == (1, True) and res[3] == (3, True) and res[5] == (5, True)
+
+
+def test_substring_dup_pairs_hand_case(spark):
+    """Two docs sharing one 20-word passage inside otherwise-different
+    text must pair; unrelated docs must not; hot-gram cap drops the
+    boilerplate gram everyone shares."""
+    from ontoemma_spark.operators.dedup import substring_dup_pairs
+
+    passage = " ".join(f"p{i}" for i in range(20))        # exactly w words
+    boiler = " ".join(f"b{i}" for i in range(20))          # shared by ALL
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique one {passage} tail1 {boiler}"),
+            (2, f"{boiler} beta other words two {passage} something else"),
+            (3, f"{boiler} gamma totally different content here three"),
+            (4, "short doc"),                              # < w words
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared_grams"]
+           for r in substring_dup_pairs(docs, w=20).collect()}
+    # 1-2 share the passage AND the boiler gram; 3 pairs only via boiler
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert (1, 3) in got and (2, 3) in got
+
+    capped = {(r["doc_a"], r["doc_b"]): r["n_shared_grams"]
+              for r in substring_dup_pairs(docs, w=20, max_gram_df=2).collect()}
+    # the boiler gram (df=3) is dropped: only the real shared passage pairs
+    assert set(capped) == {(1, 2)}
+    assert (1, 2) in capped and capped[(1, 2)] >= 1
+
+    # min_shared raises the bar
+    strict = substring_dup_pairs(docs, w=20, min_shared=100).collect()
+    assert strict == []

@@ -192,3 +192,21 @@ def test_repetition_and_rollup_aggregate_map_side(spark):
         plan = _plan(df)
         assert "partial_count" in plan or "partial count" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_substring_dup_pairs_banded_not_allpairs(spark):
+    """The substring-dedup pair step must be an EQUI-self-join on the
+    gram hash (banded), never a cartesian; gram extraction must not
+    shuffle (no exchange before the join's own hashpartitioning); and
+    the hot-gram guard must plan a broadcast anti-join."""
+    from ontoemma_spark.operators.dedup import substring_dup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(substring_dup_pairs(docs, w=20))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+    guarded = _plan(substring_dup_pairs(docs, w=20, max_gram_df=100))
+    assert "CartesianProduct" not in guarded, guarded
+    assert "LeftAnti, BuildRight" in guarded or "BroadcastHashJoin" in guarded, guarded
