@@ -155,10 +155,20 @@ def _run_scaling(cpus: int, replication: int = 400) -> tuple[float, int]:
         spark.stop()
 
 
-def _run_workload(cpus: int) -> tuple[dict, float, int, dict]:
+def _run_workload(
+    cpus: int, max_passes: int = 4, band_pct: float = 5.0
+) -> tuple[dict, float, int, dict, list[float]]:
     """Run headline + extended queries on a fresh local[cpus] session;
     returns (per-query seconds, headline total, docs processed,
-    extended per-query seconds)."""
+    extended per-query seconds, all pass totals).
+
+    In-band gating: ambient host load (invisible neighbors on this box)
+    inflates whole runs UNIFORMLY by up to ~2x — a single-shot total
+    measures the neighborhood, not the code. The headline set therefore
+    repeats (up to max_passes) until the two best pass totals agree
+    within band_pct; the reported number is the best in-band pass and
+    the JSON carries every pass total as dispersion evidence.
+    """
     from ontoemma_spark.plans import demo_queries as dq
     from ontoemma_spark.session import get_spark
 
@@ -173,33 +183,48 @@ def _run_workload(cpus: int) -> tuple[dict, float, int, dict]:
             spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
         # per-query warmup at the smallest SF: whole-stage-codegen
         # compilation (janino) is serial, once per plan shape per JVM —
-        # identical shapes at sf0.001 compile the cache so the timed run
-        # below measures execution, not compilation.
+        # identical shapes at sf0.001 compile the cache so the timed runs
+        # below measure execution, not compilation.
         warm_dir = "/root/testdata/sf0.001"
-        times: dict[str, float] = {}
-        total = 0.0
-        for name in HEADLINE:
-            fn = dq.QUERIES[name]
-            if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+        if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+            for name in HEADLINE:
                 try:
-                    fn(spark, warm_dir).count()
+                    dq.QUERIES[name](spark, warm_dir).count()
                 except Exception:
                     pass
-            # best-of-2 with a cache clear before each attempt: some
-            # queries persist() intermediates that outlive the query
-            # (their result is lazy), and the accumulated cache makes
-            # single-shot timings swing ±50% with GC/eviction pressure.
-            # Clearing levels the field; min-of-2 suppresses the
-            # remaining scheduler/GC noise.
-            best = None
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 3)
-            total += best
+
+        def one_pass() -> tuple[dict, float]:
+            times: dict[str, float] = {}
+            total = 0.0
+            for name in HEADLINE:
+                fn = dq.QUERIES[name]
+                # best-of-2 with a cache clear before each attempt: some
+                # queries persist() intermediates that outlive the query
+                # (their result is lazy), and the accumulated cache makes
+                # single-shot timings swing ±50% with GC/eviction
+                # pressure. Clearing levels the field; min-of-2
+                # suppresses the remaining scheduler/GC noise.
+                best = None
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(spark, SF_DIR).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                times[name] = round(best, 3)
+                total += best
+            return times, total
+
+        pass_totals: list[float] = []
+        times, total = {}, float("inf")
+        for _ in range(max_passes):
+            p_times, p_total = one_pass()
+            pass_totals.append(round(p_total, 3))
+            if p_total < total:
+                times, total = p_times, p_total
+            s = sorted(pass_totals)
+            if len(s) >= 2 and (s[1] - s[0]) / s[0] <= band_pct / 100.0:
+                break  # two passes agree: the best one reflects code
         spark.catalog.clearCache()
         # extended set: single timed run each (kg_pipeline runs the whole
         # 4-stage pipeline incl. writes — best-of-2 would double wall for
@@ -218,7 +243,7 @@ def _run_workload(cpus: int) -> tuple[dict, float, int, dict]:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             ext[name] = round(time.perf_counter() - t0, 3)
-        return times, total, n_docs, ext
+        return times, total, n_docs, ext, pass_totals
     finally:
         spark.stop()
 
@@ -228,18 +253,36 @@ def main() -> None:
     cpus_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    times_hi, total_hi, n_docs, ext = _run_workload(cpus_hi)
+    times_hi, total_hi, n_docs, ext, pass_totals = _run_workload(cpus_hi)
+    spread = (
+        round(100.0 * (sorted(pass_totals)[1] - min(pass_totals)) / min(pass_totals), 2)
+        if len(pass_totals) >= 2 else None
+    )
     out = {
         "metric": "headline_queries_total",
         "value": round(total_hi, 3),
         "unit": "sec",
         "queries": times_hi,
         "queries_extended": ext,
+        # dispersion evidence: every headline pass total; value is the
+        # best pass, in-band when the two best agree within 5%
+        "in_band": {
+            "passes": len(pass_totals),
+            "pass_totals": pass_totals,
+            "best_two_spread_pct": spread,
+            "in_band": spread is not None and spread <= 5.0,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus_hi,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / total_hi, 2),
     }
+    # transition metric (VERDICT r3 #8): headline-15 + the two heavy
+    # curation queries, reported alongside the comparable old total
+    if "dedup_resolve" in ext and "curate_corpus" in ext:
+        out["value_17"] = round(
+            total_hi + ext["dedup_resolve"] + ext["curate_corpus"], 3
+        )
 
     if scaling:
         # N → 4N parallelism pair. Default 4→16: measured on this box,
