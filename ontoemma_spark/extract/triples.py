@@ -75,11 +75,19 @@ def extract_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 # Pure-Python twin of the extractor (the executable spec used by tests
 # and P/R scoring vs expected triples).
+def split_sentences_py(text: str) -> list[str]:
+    """Python twin of split_sentences (same regex spec) — the unit the
+    golden corpora measure against spaCy boundaries."""
+    import re
+
+    return [s for s in re.split(SENTENCE_SPLIT_PATTERN, text or "") if s]
+
+
 def extract_triples_py(text: str) -> list[tuple[int, str, str, str]]:
     import re
 
     out = []
-    sents = [s for s in re.split(SENTENCE_SPLIT_PATTERN, text) if s]
+    sents = split_sentences_py(text)
     for idx, sent in enumerate(sents):
         for pred, pattern in TRIPLE_PATTERNS:
             m = re.match(pattern, sent)

@@ -26,10 +26,14 @@ parse's OUTPUT on noun phrases with closed-form rules:
      determiner and modifier, so "extremities" lands in the set.
 
 Verified against hand-derived spaCy parses of the reference fixture
-ontology names (tests/test_parse_root.py). Known approximation:
-coordination ("aplasia/hypoplasia …", "aggressive, impulsive or
-violent behavior") heads the first conjunct in spaCy; these rules
-keep NP-final heads — divergence documented there.
+ontology names (tests/test_parse_root.py) and, quantitatively, a
+103-name public biomedical corpus (tests/test_golden_corpora.py):
+root agreement 0.981, head-set agreement 0.952, with every divergence
+pinned by name. Known approximation classes: coordination
+("aplasia/hypoplasia …", "aggressive, impulsive or violent behavior")
+heads the FIRST conjunct in spaCy while these rules keep NP-final
+heads, and infinitival "to" ("failure to thrive") is a spaCy marker
+(its verb heads it), not a chunk opener.
 """
 
 from __future__ import annotations
