@@ -242,3 +242,44 @@ def host_of(url_col) -> F.Column:
     'source', host_of('url')), ...)` is the per-host filtering path."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     return F.lower(F.parse_url(c, F.lit("HOST")))
+
+
+# query-string params that identify a VISIT, not a RESOURCE — the
+# standard strip set for crawl canonicalization
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def normalize_url(url_col) -> F.Column:
+    """Canonical URL for crawl-level exact dedup (the first dedup pass
+    of every Common-Crawl pipeline: the same page is fetched under
+    http/https, with/without www, with tracking params, with a
+    trailing slash — all one resource). Entirely native column work:
+
+      * scheme dropped (http vs https never distinguishes a page),
+      * host lowercased, leading "www." stripped,
+      * path kept case-SENSITIVE (paths are), trailing slashes
+        stripped,
+      * fragment dropped (parse_url QUERY never includes it),
+      * tracking params (utm_*, fbclid, gclid, ref) removed and the
+        surviving params SORTED so param order never splits a group.
+
+    Narrow expression — canonical-URL dedup at 10^12 pages is
+    one hash-groupBy on this column, map-side combinable.
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.regexp_replace(
+        F.lower(F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit(""))),
+        r"^www\.", "",
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    params = F.filter(
+        F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

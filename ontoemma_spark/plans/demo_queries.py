@@ -807,6 +807,81 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup — the first dedup pass of a
+    Common-Crawl pipeline (textstats.normalize_url: drop scheme, lower
+    host, strip www/trailing-slash/tracking-params, sort the rest).
+    Four messy variants of each synthetic resource (case, www, param
+    order, utm/fbclid/gclid junk, trailing slash) must collapse to ONE
+    canonical group. Narrow normalization + one map-side-combinable
+    hash-groupBy — the 10^12-page shape."""
+    from ontoemma_spark.operators.textstats import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://WWW.EXAMPLE"), g,
+                                F.lit(".COM/page/"), g,
+                                F.lit("/?utm_source=feed&b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("http://example"), g,
+                               F.lit(".com/page/"), g, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("https://example"), g,
+                               F.lit(".com/page/"), g,
+                               F.lit("/?b=2&a=1&fbclid=xyz")))
+        .otherwise(F.concat(F.lit("https://www.example"), g,
+                            F.lit(".com/page/"), g,
+                            F.lit("?b=2&a=1&gclid=q")))
+    )
+    pages = docs.select(F.col("doc_id"), raw.alias("url"))
+    return (
+        pages.groupBy(normalize_url("url").alias("canon_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+# DuckDB twin of normalize_url (no parse_url there): host/path/query by
+# regex — host excludes the port like Spark's parse_url HOST does.
+SQL_URL_DEDUP = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://WWW.EXAMPLE' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+                       || '/?utm_source=feed&b=2&a=1'
+           WHEN 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+           WHEN 2 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+                       || '/?b=2&a=1&fbclid=xyz'
+           ELSE 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)
+                || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1&gclid=q'
+         END AS url
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)),
+                        '^www\\.', '')
+         || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+                           '/+$', '')
+         || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+  FROM (
+    SELECT doc_id, url,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+           )), '&') AS qs
+    FROM pages
+  )
+)
+SELECT canon_url, count(*) AS n_pages, CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM norm GROUP BY canon_url
+"""
+
+
 # w=20 grams: slice t[i : i+19] is 20 tokens (DuckDB slices are
 # end-inclusive); i ranges 1 .. len(t)-20+1, range() upper bound is
 # exclusive → len(t)-18.
@@ -3315,6 +3390,7 @@ QUERIES: dict[str, callable] = {
     # late in r3 (never driver-verified), then 7 last driver-green in r2.
     # ------------------------------------------------------------------
     "substring_dup_pairs": q_substring_dup_pairs,
+    "url_dedup": q_url_dedup,
     "umls_rrf_load": q_umls_rrf_load,
     "remaining_entities": q_remaining_entities,
     "global_sort_topk": q_global_sort_topk,
@@ -3407,6 +3483,7 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
+    "url_dedup": SQL_URL_DEDUP,
     "ann_cosine": SQL_ANN_COSINE,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,

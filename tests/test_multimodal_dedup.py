@@ -503,3 +503,29 @@ def test_substring_dup_pairs_hand_case(spark):
     # min_shared raises the bar
     strict = substring_dup_pairs(docs, w=20, min_shared=100).collect()
     assert strict == []
+
+
+def test_normalize_url_canonicalization(spark):
+    """Scheme/case/www/trailing-slash/param-order/tracking variants of
+    one resource collapse to a single canonical URL; distinct resources
+    stay distinct; null/schemeless inputs don't crash."""
+    from ontoemma_spark.operators.textstats import normalize_url
+
+    variants = [
+        "https://WWW.Example.COM/Page/One/?utm_source=x&b=2&a=1",
+        "http://example.com/Page/One?a=1&b=2",
+        "https://example.com/Page/One?b=2&a=1&fbclid=zz",
+        "https://example.com:443/Page/One?a=1&b=2#section",
+    ]
+    others = [
+        "https://example.com/Page/Two?a=1&b=2",   # different path
+        "https://example.com/page/one?a=1&b=2",   # path case matters
+        "https://other.com/Page/One?a=1&b=2",     # different host
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in variants + others], "url string")
+    got = [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert len(set(got[:4])) == 1
+    assert got[0] == "example.com/Page/One?a=1&b=2"
+    assert len(set(got)) == 5  # 1 canonical + 3 distinct + ''
+    assert got[-1] == ""
