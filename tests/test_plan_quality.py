@@ -210,3 +210,17 @@ def test_substring_dup_pairs_banded_not_allpairs(spark):
     guarded = _plan(substring_dup_pairs(docs, w=20, max_gram_df=100))
     assert "CartesianProduct" not in guarded, guarded
     assert "LeftAnti, BuildRight" in guarded or "BroadcastHashJoin" in guarded, guarded
+
+
+def test_extract_triples_single_scan(spark):
+    """The multi-pattern extractor must read the source ONCE: a
+    per-pattern union re-scans the corpus once per pattern (6x read
+    amplification at 10^12 pages)."""
+    from ontoemma_spark.extract.triples import extract_triples
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "CAST(doc_id AS STRING) AS url", "text"
+    )
+    plan = _plan(extract_triples(pages))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
