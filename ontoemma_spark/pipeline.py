@@ -75,10 +75,13 @@ def mention_entities(triples: DataFrame) -> DataFrame:
     """Stage-2 input: distinct surface forms from subj+obj positions of
     the extracted triples, shaped as KB entities (MENTION: id prefix).
     Shared by run_pipeline and the driver's q_kg_pipeline so the two
-    cannot drift (VERDICT r2 polish item)."""
+    cannot drift (VERDICT r2 polish item).
+
+    One scan, not a subj∪obj union: the triples table is corpus-scale
+    (union branches would each read it), the in-row explode reads it
+    once for the same distinct set."""
     return (
-        triples.select(F.col("subj").alias("name"))
-        .union(triples.select(F.col("obj").alias("name")))
+        triples.select(F.explode(F.array("subj", "obj")).alias("name"))
         .distinct()
         .select(
             F.concat(F.lit("MENTION:"), F.col("name")).alias("research_entity_id"),
