@@ -155,8 +155,11 @@ def _run_scaling(cpus: int, replication: int = 400) -> tuple[float, int]:
         spark.stop()
 
 
+BAND_PCT = 5.0  # two best headline passes must agree within this
+
+
 def _run_workload(
-    cpus: int, max_passes: int = 4, band_pct: float = 5.0
+    cpus: int, max_passes: int = 4, band_pct: float = BAND_PCT
 ) -> tuple[dict, float, int, dict, list[float]]:
     """Run headline + extended queries on a fresh local[cpus] session;
     returns (per-query seconds, headline total, docs processed,
@@ -270,7 +273,8 @@ def main() -> None:
             "passes": len(pass_totals),
             "pass_totals": pass_totals,
             "best_two_spread_pct": spread,
-            "in_band": spread is not None and spread <= 5.0,
+            "band_pct": BAND_PCT,
+            "in_band": spread is not None and spread <= BAND_PCT,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus_hi,

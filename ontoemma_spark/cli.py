@@ -89,8 +89,12 @@ def write_alignment_any(alignment: DataFrame, path: str) -> None:
         raise ValueError(f"unrecognized output alignment format: {path}")
 
 
-def load_model(model_type: str, model_path: str | None):
-    """Model object per -p/-m (reference: -m model dir + -p type)."""
+def load_model(model_type: str, model_path: str | None,
+               embeddings_path: str | None = None):
+    """Model object per -p/-m (reference: -m model dir + -p type).
+    embeddings_path: pretrained GloVe-format word table for the siamese
+    scorer (the reference's weights300.txt.gz) — required for sensible
+    scores from a reference-TRAINED state_dict; ignored for lr/nn."""
     from ontoemma_spark.operators.nn_weights import default_nn_model
     from ontoemma_spark.operators.scoring import DEFAULT_LR_MODEL, LRModel
     from ontoemma_spark.operators.scoring_nn import MLPModel
@@ -115,10 +119,14 @@ def load_model(model_type: str, model_path: str | None):
         from ontoemma_spark.operators.features import FEATURE_NAMES
         from ontoemma_spark.operators.siamese import SiameseScorer
 
+        from ontoemma_spark.operators.siamese import load_word_embeddings
+
+        words = load_word_embeddings(embeddings_path) if embeddings_path else None
         if blob:
             state = {k: np.asarray(v, dtype=np.float64) for k, v in blob.items()}
-            return SiameseScorer.from_allennlp_state(state, FEATURE_NAMES)
-        return SiameseScorer.seeded(FEATURE_NAMES)
+            return SiameseScorer.from_allennlp_state(state, FEATURE_NAMES,
+                                                     words=words)
+        return SiameseScorer.seeded(FEATURE_NAMES, words=words)
     raise ValueError(f"unknown model type {model_type!r} (lr | nn | siamese | none)")
 
 
@@ -130,6 +138,7 @@ def run_align(
     gold: str | None = None,
     model_type: str = "lr",
     model_path: str | None = None,
+    embeddings_path: str | None = None,
     strategy: str = "best",
     threshold: float = config.SIM_SCORE_THRESHOLD,
 ) -> tuple[DataFrame, dict]:
@@ -150,7 +159,8 @@ def run_align(
         # built from the default-calibrated scores align() falls back to.
         from ontoemma_spark.operators.assignment import modified_hungarian_alignment
 
-        model = None if model_type == "none" else load_model(model_type, model_path)
+        model = None if model_type == "none" else load_model(
+            model_type, model_path, embeddings_path)
         result = align(s_ents, t_ents, model=model, strategy="all", threshold=0.0)
         s_order = [r[0] for r in s_ents.select("research_entity_id").collect()]
         t_order = [r[0] for r in t_ents.select("research_entity_id").collect()]
@@ -164,7 +174,8 @@ def run_align(
                        threshold=threshold)
         alignment = result.alignment
     else:
-        result = align(s_ents, t_ents, model=load_model(model_type, model_path),
+        result = align(s_ents, t_ents,
+                       model=load_model(model_type, model_path, embeddings_path),
                        strategy=strategy, threshold=threshold)
         alignment = result.alignment
 
@@ -417,6 +428,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("-p", "--model-type", default="lr",
                     choices=["lr", "nn", "siamese", "none"])
     ap.add_argument("-m", "--model-path")
+    ap.add_argument("--embeddings", help="pretrained word table for -p "
+                    "siamese (GloVe text format, optionally .gz)")
     ap.add_argument("-a", "--alignment-strategy", default="best",
                     choices=["best", "all", "modh", "modh-exact"])
     ap.add_argument("--threshold", type=float,
@@ -436,6 +449,7 @@ def main(argv: list[str] | None = None) -> dict:
             gold=args.input,
             model_type=args.model_type,
             model_path=args.model_path,
+            embeddings_path=args.embeddings,
             strategy=args.alignment_strategy,
             threshold=args.threshold,
         )

@@ -437,13 +437,19 @@ class SiameseScorer:
 
     @classmethod
     def from_allennlp_state(
-        cls, state: dict[str, np.ndarray], feature_names: list[str]
+        cls,
+        state: dict[str, np.ndarray],
+        feature_names: list[str],
+        words: _EmbeddingCache | None = None,
     ) -> "SiameseScorer":
         """Map a reference-trained OntoEmmaNN state_dict (parameter name
         → numpy array; extract offline with
         `{k: v.numpy() for k, v in torch.load(...)['model'].items()}`)
         into this scorer. Parameter names follow AllenNLP's module tree
-        for config/ontoemma_nn_all.json."""
+        for config/ontoemma_nn_all.json. Pass
+        words=load_word_embeddings(path) with the model's pretrained
+        table (weights300.txt.gz) — a trained state_dict over the
+        default HASHED stand-in vectors produces meaningless scores."""
 
         def lstm(prefix: str) -> BiLSTMEncoder:
             layers = []
@@ -485,6 +491,7 @@ class SiameseScorer:
             ff("siamese_feedforward", ["relu", "relu"]),
             ff("decision_feedforward", ["relu", "linear"]),
             feature_names,
+            words=words,
         )
 
 

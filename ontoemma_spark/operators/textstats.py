@@ -245,11 +245,16 @@ def host_of(url_col) -> F.Column:
 
 
 # query-string params that identify a VISIT, not a RESOURCE — the
-# standard strip set for crawl canonicalization
-_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+# standard strip set for crawl canonicalization. Deliberately narrow:
+# ambiguous keys like `ref` are resource-identifying on major hosts
+# (GitHub/GitLab `?ref=<branch>` names different file contents), so
+# stripping them would merge distinct pages — extend via the
+# tracking_param_re argument per corpus instead. `(=|$)` also catches
+# the valueless form (`?fbclid`).
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
 
 
-def normalize_url(url_col) -> F.Column:
+def normalize_url(url_col, tracking_param_re: str = _TRACKING_PARAM_RE) -> F.Column:
     """Canonical URL for crawl-level exact dedup (the first dedup pass
     of every Common-Crawl pipeline: the same page is fetched under
     http/https, with/without www, with tracking params, with a
@@ -260,7 +265,8 @@ def normalize_url(url_col) -> F.Column:
       * path kept case-SENSITIVE (paths are), trailing slashes
         stripped,
       * fragment dropped (parse_url QUERY never includes it),
-      * tracking params (utm_*, fbclid, gclid, ref) removed and the
+      * tracking params (utm_*, fbclid, gclid — see _TRACKING_PARAM_RE
+        for why the set is deliberately narrow) removed and the
         surviving params SORTED so param order never splits a group.
 
     Narrow expression — canonical-URL dedup at 10^12 pages is
@@ -276,7 +282,7 @@ def normalize_url(url_col) -> F.Column:
     )
     params = F.filter(
         F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
-        lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_PARAM_RE),
+        lambda p: (p != F.lit("")) & ~p.rlike(tracking_param_re),
     )
     qs = F.array_join(F.array_sort(params), "&")
     return F.concat(

@@ -872,7 +872,7 @@ WITH pages AS (
     SELECT doc_id, url,
            array_to_string(list_sort(list_filter(
              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)')
            )), '&') AS qs
     FROM pages
   )

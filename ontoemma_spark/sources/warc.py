@@ -83,7 +83,11 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
     of (decompressed) archive bytes, reading incrementally — at no point
     is more than one record's payload held. Stops cleanly at the first
     malformed record (garbage preamble / non-numeric length) so corrupt
-    archives degrade to their parseable prefix."""
+    archives degrade to their parseable prefix. A final record truncated
+    mid-payload IS yielded with the bytes present (r3 slice semantics,
+    pinned by test_warc_corrupt_archives_do_not_kill_the_scan — a
+    partially fetched page is still a page; downstream quality gates are
+    the filter for mangled documents), then the scan stops."""
     while True:
         line = stream.readline()
         if not line:
@@ -123,20 +127,21 @@ def _http_payload(body: bytes) -> bytes:
 
 
 def _parse_ts(value: str):
-    """WARC-Date is ISO-8601 (e.g. 2026-01-17T08:51:02Z)."""
+    """WARC-Date is ISO-8601 (e.g. 2026-01-17T08:51:02Z). Offset-less
+    dates (both ISO and RFC-2822 forms) are pinned to UTC — letting
+    astimezone() interpret a naive datetime would use the executor's
+    LOCAL zone, making warc_ts machine-dependent across a cluster."""
     try:
-        return datetime.fromisoformat(value.replace("Z", "+00:00")).astimezone(
-            timezone.utc
-        ).replace(tzinfo=None)
+        dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+        if dt.tzinfo is None:  # e.g. '2026-01-17T08:51:02' (no offset)
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
     except ValueError:
         try:
             dt = parsedate_to_datetime(value)
         except (TypeError, ValueError):
             return None
-        if dt.tzinfo is None:
-            # e.g. '-0000' parses tz-naive; pinning UTC keeps the value
-            # machine-independent (astimezone on naive would use the
-            # executor's LOCAL zone — non-deterministic across a cluster)
+        if dt.tzinfo is None:  # e.g. '-0000' parses tz-naive
             dt = dt.replace(tzinfo=timezone.utc)
         return dt.astimezone(timezone.utc).replace(tzinfo=None)
 
@@ -181,7 +186,10 @@ def _flush(rows: list[tuple]) -> pd.DataFrame:
 
 
 def load_warc(
-    spark: SparkSession, path: str, rows_per_batch: int = _ROWS_PER_BATCH
+    spark: SparkSession,
+    path: str,
+    rows_per_batch: int = _ROWS_PER_BATCH,
+    check_sizes: bool = True,
 ) -> DataFrame:
     """Pages table from a directory/glob of .warc / .warc.gz archives.
 
@@ -191,17 +199,23 @@ def load_warc(
     (`rows_per_batch` pages each — see the module docstring's memory
     shape). At 10^12 pages you have ~10^5 archives per crawl — ample
     task parallelism with zero shuffle.
+
+    check_sizes runs an EAGER listing-only job (content column pruned,
+    no file bytes read) so archives over binaryFile's cap fail here
+    with an actionable message instead of an opaque mid-scan JVM error
+    — the failure happens at scan time inside the data source, so it
+    cannot be intercepted lazily. Pass check_sizes=False to keep the
+    constructor fully lazy when the archive sizes are already known
+    (e.g. a fixed crawl whose shards are all ~1 GiB).
     """
     files = spark.read.format("binaryFile").load(path)
     # binaryFile holds each file as ONE JVM byte array (2 GiB hard cap).
-    # The listing carries `length`, so this check prunes `content` and
-    # reads no file bytes; failing here beats an opaque mid-scan error.
     oversized = (
         files.select("path", "length")
         .where(F.col("length") > _BINARYFILE_MAX_BYTES)
         .limit(3)
         .collect()
-    )
+    ) if check_sizes else []
     if oversized:
         names = ", ".join(r["path"] for r in oversized)
         raise ValueError(

@@ -32,10 +32,11 @@ def generate_archives(workdir: str, n_pages: int, n_archives: int) -> str:
     from ontoemma_spark.datagen import page_html
     from ontoemma_spark.sources.warc import write_warc
 
-    d = os.path.join(workdir, f"warcs_{n_pages}")
+    d = os.path.join(workdir, f"warcs_{n_pages}x{n_archives}")
     if os.path.isdir(d):  # reuse across runs (generation is the slow part)
         return d
-    os.makedirs(d + ".tmp", exist_ok=True)
+    shutil.rmtree(d + ".tmp", ignore_errors=True)  # stale crashed run
+    os.makedirs(d + ".tmp")
     t0 = datetime(2026, 1, 1)
     per = -(-n_pages // n_archives)
     for a in range(n_archives):

@@ -521,11 +521,19 @@ def test_normalize_url_canonicalization(spark):
         "https://example.com/Page/Two?a=1&b=2",   # different path
         "https://example.com/page/one?a=1&b=2",   # path case matters
         "https://other.com/Page/One?a=1&b=2",     # different host
+        # `ref` is resource-identifying (code hosts) — NOT stripped
+        "https://example.com/Page/One?a=1&b=2&ref=main",
         None,
     ]
     df = spark.createDataFrame([(u,) for u in variants + others], "url string")
     got = [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
     assert len(set(got[:4])) == 1
     assert got[0] == "example.com/Page/One?a=1&b=2"
-    assert len(set(got)) == 5  # 1 canonical + 3 distinct + ''
+    assert got[7] == "example.com/Page/One?a=1&b=2&ref=main"
+    assert len(set(got)) == 6  # 1 canonical + 4 distinct + ''
     assert got[-1] == ""
+    # valueless tracking param is still stripped
+    one = spark.createDataFrame(
+        [("https://example.com/p?fbclid&a=1",)], "url string"
+    ).select(normalize_url("url").alias("n")).collect()[0]["n"]
+    assert one == "example.com/p?a=1"

@@ -157,6 +157,8 @@ def test_warc_rfc2822_date_is_tz_stable(monkeypatch):
     try:
         got = _parse_ts("Mon, 17 Aug 2026 08:00:00 -0000")
         assert got == datetime(2026, 8, 17, 8, 0, 0)
+        # offset-less ISO (non-conformant archives) pins UTC too
+        assert _parse_ts("2026-01-17T08:51:02") == datetime(2026, 1, 17, 8, 51, 2)
         assert _parse_ts("Mon, 17 Aug 2026 08:00:00 +0200") == datetime(
             2026, 8, 17, 6, 0, 0
         )
