@@ -50,6 +50,9 @@ EXTENDED = [
     "redact_pii",
     "mixture_sample",
     "pack_sequences",
+    # round 4: substring-level and canonical-URL dedup
+    "substring_dup_pairs",
+    "url_dedup",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -294,3 +294,47 @@ def test_lsh_chain_matches_python(spark, docs_words):
         sh.unpersist()
         sig.unpersist()
     assert got == expected
+
+
+def py_substring_pairs(rows, w, min_shared=1, max_gram_df=None):
+    grams = {}
+    for i, text in rows:
+        toks = text.split(" ")
+        gs = {" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)
+              if len(toks) >= w}
+        grams[i] = gs
+    if max_gram_df is not None:
+        from collections import Counter
+        df = Counter(g for gs in grams.values() for g in gs)
+        grams = {i: {g for g in gs if df[g] <= max_gram_df}
+                 for i, gs in grams.items()}
+    out = {}
+    ids = sorted(grams)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            n = len(grams[a] & grams[b])
+            if n >= min_shared:
+                out[(a, b)] = n
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(WORDS, min_size=2, max_size=20), st.booleans())
+def test_substring_pairs_match_python(spark, docs_words, capped):
+    """substring_dup_pairs (banded shared-gram self-join, optional
+    hot-gram cap) must agree with the brute-force python spec,
+    including sub-w docs (no grams, no pairs)."""
+    from ontoemma_spark.operators.dedup import substring_dup_pairs
+
+    w = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    cap = 3 if capped else None
+    expected = py_substring_pairs(rows, w=w, max_gram_df=cap)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_grams"]
+        for r in substring_dup_pairs(docs, w=w, max_gram_df=cap).collect()
+    }
+    assert got == expected
