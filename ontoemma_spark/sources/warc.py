@@ -251,6 +251,47 @@ def batched_pages(
         yield _flush(buf)
 
 
+# binaryFile's fixed schema — streaming file sources require it explicit
+_BINARYFILE_DDL = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    rows_per_batch: int = _ROWS_PER_BATCH,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming pages table over a directory where `.warc.gz` archives
+    ARRIVE (continuous crawl ingest): the file-source stream picks up
+    each new archive exactly once (checkpointed file ledger), the same
+    streamed per-member scanner parses it, and the result composes with
+    streaming/pages.gate_page_stream for the inline curation gate.
+
+    Unit of progress = one archive file (the CC sharding unit), so a
+    trigger processes max_files_per_trigger archives — bounded work per
+    micro-batch regardless of archive backlog. Memory shape identical
+    to load_warc (bounded Arrow batches). The 2 GiB binaryFile cap
+    applies per file; streaming cannot pre-check sizes (the listing is
+    incremental), so shard oversized archives at the crawler.
+    """
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield from batched_pages(
+                (bytes(c) for c in pdf["content"]), rows_per_batch
+            )
+
+    return files.select("content").mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
 def write_warc(rows: list[tuple], fileobj, gzip_members: bool = False) -> None:
     """Serialize (url, ts, html_bytes) rows as WARC response records —
     the test/fixture writer (member-gzip like Common Crawl when
