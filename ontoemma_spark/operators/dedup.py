@@ -287,6 +287,75 @@ def substring_dup_pairs(
     return pairs
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    paras_col: Column | None = None,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CC-Net-style paragraph-level dedup: every paragraph that occurs
+    more than once ACROSS THE CORPUS is dropped (boilerplate, license
+    headers, nav chrome — the dominant duplication mode in web text),
+    keeping the first occurrence by (doc_id, position) when keep_first
+    (CC-Net's mode; keep_first=False drops ALL copies). Documents are
+    reassembled from their surviving paragraphs in original order.
+
+    paras_col: array<string> column expression splitting a doc into
+    units (default: newline paragraphs). Callers choose the unit —
+    e.g. a sentence split — the dedup itself is unit-agnostic.
+
+    Returns (doc_id, text, n_paras, n_kept): text is the rebuilt doc
+    (empty string if nothing survived — the row is KEPT so downstream
+    length filters make the drop decision explicitly). Docs whose
+    paras_col is null/empty (null text) have no paragraphs and are
+    absent from the output, like the other text-keyed dedup ops.
+
+    Scale shape at 10^12 docs:
+      * paragraph explode is narrow; hashes are md5 (oracle-portable);
+      * "first occurrence" is a map-side-combinable min(struct(doc_id,
+        pos)) aggregation per hash — NOT a row_number window, which
+        would sort every copy of a hyper-common paragraph ("All rights
+        reserved." at df 10^9) inside one partition; the min-agg
+        combines partially on the map side so no task ever holds a
+        hash's full occurrence list;
+      * rebuild is one groupBy(doc) with an in-row sort of that doc's
+        surviving paragraphs (bounded by doc size).
+    """
+    paras = paras_col if paras_col is not None else F.split(F.col(text_col), "\n+")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(paras).alias("pos", "para"),
+    ).withColumn("h", F.md5(F.col("para")))
+    per_hash = exploded.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    keep = (
+        (F.col("occ") == 1)
+        | (
+            F.lit(keep_first)
+            & (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    flagged = exploded.join(per_hash, "h").withColumn("keep", keep)
+    kept_paras = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep"), F.struct("pos", "para"))
+            )
+        ),
+        lambda s: s["para"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(kept_paras, sep).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+    )
+
+
 def ngram_jaccard_pairs_auto(
     docs: DataFrame,
     text_col: str = "text",

@@ -807,6 +807,62 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-Net-style paragraph dedup: sentences occurring in more than
+    one place corpus-wide are dropped (first occurrence kept) and docs
+    are rebuilt. A boilerplate sentence is appended to every doc (plus
+    a unique tail) so the dedup provably fires: exactly one doc keeps
+    the boilerplate. Unit split is the portable replace-then-split
+    sentence spec (no lookbehind — DuckDB's RE2 has none). Skew-safe:
+    first-occurrence is a combinable min(struct) agg, never a window
+    over a hot paragraph's occurrences."""
+    from ontoemma_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". Standard legal boilerplate sentence appears everywhere. "
+                  "Unique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    unit = F.split(
+        F.regexp_replace(F.col("text"), "([.!?]) ", "$1\u0001"), "\u0001"
+    )
+    return paragraph_dedup(docs, paras_col=unit, sep="\n").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text", "n_paras", "n_kept",
+    )
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH pages AS (
+  SELECT doc_id,
+         text || '. Standard legal boilerplate sentence appears everywhere. Unique tail '
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), parts AS (
+  SELECT doc_id, i - 1 AS pos, para
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1))) AS para,
+           generate_subscripts(string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)), 1) AS i
+    FROM pages
+  )
+), flagged AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM parts
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS text,
+       count(*) AS n_paras,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL exact dedup — the first dedup pass of a
     Common-Crawl pipeline (textstats.normalize_url: drop scheme, lower
@@ -3391,6 +3447,7 @@ QUERIES: dict[str, callable] = {
     # ------------------------------------------------------------------
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "umls_rrf_load": q_umls_rrf_load,
     "remaining_entities": q_remaining_entities,
     "global_sort_topk": q_global_sort_topk,
@@ -3484,6 +3541,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "ann_cosine": SQL_ANN_COSINE,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,

@@ -537,3 +537,38 @@ def test_normalize_url_canonicalization(spark):
         [("https://example.com/p?fbclid&a=1",)], "url string"
     ).select(normalize_url("url").alias("n")).collect()[0]["n"]
     assert one == "example.com/p?a=1"
+
+
+def test_paragraph_dedup_hand_case(spark):
+    """Corpus-wide repeated paragraphs drop (first kept by doc/pos
+    order); unique paragraphs survive; docs rebuild in original order;
+    keep_first=False drops every copy."""
+    from ontoemma_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nSHARED BOILER\nalpha two"),
+            (2, "SHARED BOILER\nbeta middle\nSHARED BOILER"),
+            (3, "gamma only"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert set(got) == {1, 2, 3}          # null text → no paragraphs
+    assert got[1]["text"] == "alpha one\nSHARED BOILER\nalpha two"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    # doc 2: both copies of the boiler lose to doc 1's occurrence
+    assert got[2]["text"] == "beta middle"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (3, 1)
+    assert got[3]["text"] == "gamma only"
+
+    all_dropped = {r["doc_id"]: r for r in
+                   paragraph_dedup(docs, keep_first=False).collect()}
+    assert all_dropped[1]["text"] == "alpha one\nalpha two"
+    assert all_dropped[2]["text"] == "beta middle"
+
+    # determinism under repartitioning (min-struct agg, not arrival order)
+    again = {r["doc_id"]: r["text"]
+             for r in paragraph_dedup(docs.repartition(7)).collect()}
+    assert again == {k: v["text"] for k, v in got.items()}

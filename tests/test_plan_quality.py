@@ -224,3 +224,16 @@ def test_extract_triples_single_scan(spark):
     plan = _plan(extract_triples(pages))
     assert plan.count("Scan parquet") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_paragraph_dedup_no_window(spark):
+    """First-occurrence selection must be the combinable min-struct
+    aggregation, never a row_number window (a hyper-common paragraph
+    would sort its entire occurrence list in one task), and the
+    per-hash agg must have a map-side partial."""
+    from ontoemma_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(paragraph_dedup(docs))
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
