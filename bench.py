@@ -50,9 +50,10 @@ EXTENDED = [
     "redact_pii",
     "mixture_sample",
     "pack_sequences",
-    # round 4: substring-level and canonical-URL dedup
+    # round 4: substring-level, canonical-URL, and paragraph dedup
     "substring_dup_pairs",
     "url_dedup",
+    "paragraph_dedup",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset
