@@ -307,11 +307,14 @@ def main() -> None:
         # efficiency ratio is only meaningful within one back-to-back
         # (lo, hi) pair. Measure up to 3 pairs, stop once a pair clears
         # the 0.8 bar, report the best pair plus every window's ratio.
+        # actual core ratio (sc_lo is clamped to >=2, so tiny SCALE_HI
+        # settings are not a true 4x — divide by what was really run)
+        ratio = sc_hi_cpus / sc_lo_cpus
         windows = []
         for _ in range(3):
             sc_lo, n_big = _run_scaling(sc_lo_cpus)
             sc_hi, _ = _run_scaling(sc_hi_cpus)
-            windows.append((sc_lo, sc_hi, sc_lo / (4 * sc_hi)))
+            windows.append((sc_lo, sc_hi, sc_lo / (ratio * sc_hi)))
             if windows[-1][2] >= 0.8:
                 break
         sc_lo, sc_hi, eff = max(windows, key=lambda w: w[2])

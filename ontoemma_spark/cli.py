@@ -123,6 +123,16 @@ def load_model(model_type: str, model_path: str | None,
 
         words = load_word_embeddings(embeddings_path) if embeddings_path else None
         if blob:
+            if words is None:
+                import sys as _sys
+
+                print(
+                    "WARNING: siamese state_dict loaded WITHOUT --embeddings; "
+                    "scoring will use deterministic hashed stand-in word "
+                    "vectors, which makes a TRAINED model's scores "
+                    "meaningless — pass the model's weights300-style table.",
+                    file=_sys.stderr,
+                )
             state = {k: np.asarray(v, dtype=np.float64) for k, v in blob.items()}
             return SiameseScorer.from_allennlp_state(state, FEATURE_NAMES,
                                                      words=words)

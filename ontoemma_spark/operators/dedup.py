@@ -324,6 +324,12 @@ def paragraph_dedup(
         surviving paragraphs (bounded by doc size).
     """
     paras = paras_col if paras_col is not None else F.split(F.col(text_col), "\n+")
+    # Empty-string units (a trailing newline yields one per doc — they
+    # would all share md5('') and dedup against each other, leaving one
+    # arbitrary doc a dangling separator) and null units (md5(null) is
+    # null and silently falls out of the equi-join) carry no content:
+    # drop them before dedup.
+    paras = F.filter(paras, lambda p: p.isNotNull() & (p != ""))
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(paras).alias("pos", "para"),

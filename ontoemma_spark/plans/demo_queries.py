@@ -843,6 +843,8 @@ WITH pages AS (
               || CAST(doc_id AS VARCHAR) AS text
   FROM documents
 ), parts AS (
+  -- empty/null units are dropped before dedup (operator contract);
+  -- relative order is preserved so positions compare identically
   SELECT doc_id, i - 1 AS pos, para
   FROM (
     SELECT doc_id,
@@ -850,6 +852,7 @@ WITH pages AS (
            generate_subscripts(string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)), 1) AS i
     FROM pages
   )
+  WHERE para IS NOT NULL AND para <> ''
 ), flagged AS (
   SELECT doc_id, pos, para,
          row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn

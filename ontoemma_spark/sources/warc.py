@@ -225,13 +225,22 @@ def load_warc(
             "the crawler)."
         )
 
+    return files.select("content").mapInPandas(
+        _pages_scan_udf(rows_per_batch), schema=PAGES_SCHEMA
+    )
+
+
+def _pages_scan_udf(rows_per_batch: int):
+    """The mapInPandas body shared by load_warc and read_warc_stream —
+    one definition so the batch and streaming scans cannot drift."""
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield from batched_pages(
                 (bytes(c) for c in pdf["content"]), rows_per_batch
             )
 
-    return files.select("content").mapInPandas(parse, schema=PAGES_SCHEMA)
+    return parse
 
 
 def batched_pages(
@@ -265,9 +274,13 @@ def read_warc_stream(
 ) -> DataFrame:
     """Streaming pages table over a directory where `.warc.gz` archives
     ARRIVE (continuous crawl ingest): the file-source stream picks up
-    each new archive exactly once (checkpointed file ledger), the same
-    streamed per-member scanner parses it, and the result composes with
+    each new archive once per query, the same streamed per-member
+    scanner parses it, and the result composes with
     streaming/pages.gate_page_stream for the inline curation gate.
+    Exactly-once across RESTARTS requires the caller to set
+    `checkpointLocation` on its writeStream — the processed-file ledger
+    lives in that checkpoint, not here; without one, a restarted query
+    reprocesses the whole directory.
 
     Unit of progress = one archive file (the CC sharding unit), so a
     trigger processes max_files_per_trigger archives — bounded work per
@@ -282,14 +295,9 @@ def read_warc_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield from batched_pages(
-                (bytes(c) for c in pdf["content"]), rows_per_batch
-            )
-
-    return files.select("content").mapInPandas(parse, schema=PAGES_SCHEMA)
+    return files.select("content").mapInPandas(
+        _pages_scan_udf(rows_per_batch), schema=PAGES_SCHEMA
+    )
 
 
 def write_warc(rows: list[tuple], fileobj, gzip_members: bool = False) -> None:

@@ -568,6 +568,17 @@ def test_paragraph_dedup_hand_case(spark):
     assert all_dropped[1]["text"] == "alpha one\nalpha two"
     assert all_dropped[2]["text"] == "beta middle"
 
+    # trailing newlines yield empty units — dropped, never deduped
+    # (they'd otherwise all share md5('') corpus-wide)
+    trail = spark.createDataFrame(
+        [(10, "one para\n"), (11, "other para\n"), (12, "")],
+        "doc_id bigint, text string",
+    )
+    tgot = {r["doc_id"]: r for r in paragraph_dedup(trail).collect()}
+    assert set(tgot) == {10, 11}          # empty text → no paragraphs
+    assert tgot[10]["text"] == "one para" and tgot[10]["n_paras"] == 1
+    assert tgot[11]["text"] == "other para" and tgot[11]["n_kept"] == 1
+
     # determinism under repartitioning (min-struct agg, not arrival order)
     again = {r["doc_id"]: r["text"]
              for r in paragraph_dedup(docs.repartition(7)).collect()}
