@@ -54,6 +54,7 @@ EXTENDED = [
     "substring_dup_pairs",
     "url_dedup",
     "paragraph_dedup",
+    "web_dedup_pass",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

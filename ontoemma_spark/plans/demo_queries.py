@@ -941,6 +941,130 @@ FROM norm GROUP BY canon_url
 """
 
 
+def q_web_dedup_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl stage-0 dedup, the order a CC pipeline runs it:
+    canonical-URL dedup (cheapest, exact — keep min doc_id per
+    canonical url) → paragraph-level dedup over the URL survivors →
+    exact content rollup of the rebuilt texts. Same messy-URL-variant
+    synthesis as url_dedup plus an appended boilerplate sentence so
+    both later stages provably fire. Every stage is the already-tested
+    operator — composition, not new math; all three are narrow or
+    single-agg shapes (no join bigger than doc_id)."""
+    from ontoemma_spark.operators.dedup import paragraph_dedup
+    from ontoemma_spark.operators.textstats import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://WWW.EXAMPLE"), g,
+                                F.lit(".COM/page/"), g,
+                                F.lit("/?utm_source=feed&b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("http://example"), g,
+                               F.lit(".com/page/"), g, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("https://example"), g,
+                               F.lit(".com/page/"), g,
+                               F.lit("/?b=2&a=1&fbclid=xyz")))
+        .otherwise(F.concat(F.lit("https://www.example"), g,
+                            F.lit(".com/page/"), g,
+                            F.lit("?b=2&a=1&gclid=q")))
+    )
+    pages = docs.select(
+        "doc_id",
+        normalize_url(raw).alias("canon_url"),
+        F.concat(
+            F.col("text"),
+            F.lit(". Standard legal boilerplate sentence appears everywhere. "
+                  "Unique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    url_survivors = (
+        pages.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+        .join(pages.select("doc_id", "text"), "doc_id")
+    )
+    unit = F.split(
+        F.regexp_replace(F.col("text"), "([.!?]) ", "$1\u0001"), "\u0001"
+    )
+    rebuilt = paragraph_dedup(url_survivors, paras_col=unit, sep="\n")
+    same_text = rebuilt.groupBy(F.md5("text").alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_same_text")
+    )
+    return (
+        rebuilt.join(same_text, F.md5("text") == F.col("_h")).drop("_h")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "text", "n_paras", "n_kept", "n_same_text",
+        )
+    )
+
+
+SQL_WEB_DEDUP_PASS = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://WWW.EXAMPLE' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+                       || '/?utm_source=feed&b=2&a=1'
+           WHEN 1 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+           WHEN 2 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+                       || '/?b=2&a=1&fbclid=xyz'
+           ELSE 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)
+                || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1&gclid=q'
+         END AS url,
+         text || '. Standard legal boilerplate sentence appears everywhere. Unique tail '
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id, text,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)),
+                        '^www\\.', '')
+         || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+                           '/+$', '')
+         || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+  FROM (
+    SELECT doc_id, text, url,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)')
+           )), '&') AS qs
+    FROM pages
+  )
+), url_survivors AS (
+  SELECT n.doc_id, n.text
+  FROM norm n
+  JOIN (SELECT canon_url, min(doc_id) AS doc_id FROM norm GROUP BY canon_url) k
+    ON n.doc_id = k.doc_id
+), parts AS (
+  SELECT doc_id, i - 1 AS pos, para
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1))) AS para,
+           generate_subscripts(string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)), 1) AS i
+    FROM url_survivors
+  )
+  WHERE para IS NOT NULL AND para <> ''
+), flagged AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM parts
+), rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS text,
+         count(*) AS n_paras,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+  FROM flagged GROUP BY doc_id
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.text, r.n_paras, r.n_kept,
+       s.n_same_text
+FROM rebuilt r
+JOIN (SELECT md5(text) AS h, count(*) AS n_same_text FROM rebuilt GROUP BY md5(text)) s
+  ON md5(r.text) = s.h
+"""
+
+
 # w=20 grams: slice t[i : i+19] is 20 tokens (DuckDB slices are
 # end-inclusive); i ranges 1 .. len(t)-20+1, range() upper bound is
 # exclusive → len(t)-18.
@@ -3451,6 +3575,7 @@ QUERIES: dict[str, callable] = {
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
+    "web_dedup_pass": q_web_dedup_pass,
     "umls_rrf_load": q_umls_rrf_load,
     "remaining_entities": q_remaining_entities,
     "global_sort_topk": q_global_sort_topk,
@@ -3545,6 +3670,7 @@ ORACLES: dict[str, str] = {
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "web_dedup_pass": SQL_WEB_DEDUP_PASS,
     "ann_cosine": SQL_ANN_COSINE,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
