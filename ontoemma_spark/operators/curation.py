@@ -228,10 +228,21 @@ def curate_corpus(
     pack_group_col: str | None = None,
     n_pack_groups: int | None = None,
     pack_groups_by_mod: bool = False,
+    pre_dedup_paragraphs: bool = False,
 ) -> DataFrame:
     """The full corpus-curation pass, composed from the family's
     operators in the order a production pipeline runs them:
 
+      0. (opt-in, pre_dedup_paragraphs) paragraph-level dedup — the
+         CC-Net stage-0: corpus-wide repeated paragraphs (boilerplate)
+         drop BEFORE any scoring, so the quality/repetition gates and
+         the MinHash signatures see boilerplate-free text. Docs whose
+         every paragraph was boilerplate rebuild to "" and are dropped
+         here (the explicit length decision paragraph_dedup delegates
+         to its caller — an empty doc would otherwise score 0.5 on the
+         quality gate: zero stopwords and trivially-distinct tokens
+         both pass). Off by default (changes doc text — the caller
+         opts into the rewrite);
       1. quality + repetition gate (cheap narrow filters first —
          shrink the corpus before anything that joins);
       2. benchmark decontamination (broadcast gram probe);
@@ -259,6 +270,17 @@ def curate_corpus(
     """
     from ontoemma_spark.operators import dedup as D
     from ontoemma_spark.operators.textstats import quality_score_col, repetition_scores
+
+    if pre_dedup_paragraphs:
+        # rebuilt text replaces the original; every other column
+        # (source for sampling, the caller's pack group, ...) rides
+        # along via the doc_id join
+        rebuilt = (
+            D.paragraph_dedup(docs)
+            .filter(F.col("text") != "")  # all-boilerplate docs are gone
+            .select("doc_id", "text")
+        )
+        docs = rebuilt.join(docs.drop("text"), "doc_id")
 
     # quality is a narrow in-row expression — filtering in the scan
     # stage, NOT a join against quality_scores' projection (which would

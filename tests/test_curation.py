@@ -265,3 +265,46 @@ def test_pack_sequences_string_doc_ids(spark):
     rows = got.collect()
     assert len(rows) == 30
     assert all(r["bin_fill"] <= 10 or r["n_tokens"] > 10 for r in rows)
+
+
+def test_curate_corpus_pre_dedup_paragraphs(spark):
+    """Opt-in stage 0: boilerplate paragraphs vanish before scoring, so
+    packed token counts shrink accordingly; a doc that was ALL
+    boilerplate rebuilds empty and is dropped by stage 0's explicit
+    length decision. Default (off) leaves text untouched."""
+    from ontoemma_spark.operators.curation import curate_corpus
+
+    import random as _random
+
+    rng = _random.Random(5)
+    vocab = [f"word{k}" for k in range(600)]
+    boiler = "all rights reserved by the publisher of this site"
+
+    def body(i):
+        return " ".join(rng.sample(vocab, 18))
+
+    rows = [
+        (i, f"src{i % 2}", f"{body(i)}.\n{boiler}")
+        for i in range(12)
+    ] + [(99, "src0", boiler)]  # pure-boilerplate doc
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    bench = docs.limit(0)
+    weights = docs.select("source").distinct().withColumn("weight", F.lit(1.0))
+
+    packed_on = curate_corpus(docs, bench, weights, max_tokens=64,
+                              n_pack_groups=2, pre_dedup_paragraphs=True)
+    on = {r["doc_id"]: r for r in packed_on.collect()}
+    packed_off = curate_corpus(docs, bench, weights, max_tokens=64,
+                               n_pack_groups=2)
+    off = {r["doc_id"]: r for r in packed_off.collect()}
+
+    # pack_sequences tokenizes with split(text, " ") — the "\n" between
+    # paragraphs does NOT separate tokens, so "body.\nall" is ONE token
+    # and dropping the boiler paragraph removes len(boiler)-1 tokens.
+    boiler_delta = len(boiler.split()) - 1
+    # doc 0 keeps the one surviving boilerplate copy; docs 1..11 lose it
+    assert on[0]["n_tokens"] == off[0]["n_tokens"]
+    for i in range(1, 12):
+        assert on[i]["n_tokens"] == off[i]["n_tokens"] - boiler_delta, i
+    # the all-boilerplate doc rebuilt to "" and fell to the quality gate
+    assert 99 not in on and 99 in off
