@@ -362,6 +362,147 @@ def paragraph_dedup(
     )
 
 
+def exact_substring_removal(
+    docs: DataFrame,
+    w: int = 20,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022): every w-token span whose text
+    occurs more than once ACROSS THE CORPUS is EXCISED from the
+    document — not the document dropped (that is MinHash-LSH's job),
+    not the paragraph unit (paragraph_dedup's job) — keeping the first
+    occurrence by (doc_id, position) when keep_first (keep_first=False
+    excises ALL copies). A span repeated for L >= w tokens contributes
+    L-w+1 duplicated windows whose union covers the whole span, so
+    arbitrarily long copied passages are removed in full while the
+    first copy survives intact; within-doc repeats are excised the
+    same way. The paper's suffix array is a single-machine structure —
+    the rolling-window hash join below is the distributed equivalent
+    over the same "duplicate iff a length-w substring matches exactly"
+    criterion (token-level, vs the paper's 50 BPE tokens).
+
+    Tokenization is split-on-single-space, which is LOSSLESS:
+    array_join(split(text, ' '), ' ') == text for any text (empty
+    tokens from runs of spaces and embedded newlines ride inside
+    tokens), so untouched regions are reproduced byte-identical.
+
+    Returns (doc_id, text, n_tokens, n_removed): one row per input doc
+    with non-null text — text rebuilt from the surviving token ranges
+    ("" if everything was removed: the row is KEPT so downstream length
+    filters make the drop decision, like paragraph_dedup).
+
+    Scale shape at 10^12 docs:
+      * window extraction is narrow (in-row shingles + posexplode);
+      * "first occurrence" is a map-side-combinable min(struct) agg per
+        window hash — never a row_number window over a hot gram's
+        occurrence list;
+      * the mark-back join shuffles on the hash (AQE handles skew);
+      * interval merge + rebuild are in-row folds over ONE doc's sorted
+        removal starts — O(doc length), bounded by doc size, no
+        cross-doc state.
+    """
+    win = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingle_array(text_col, w)).alias("s", "gram"),
+    ).select("doc_id", "s", F.md5("gram").alias("h"))
+    per_hash = win.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct("doc_id", "s")).alias("first"),
+    )
+    drop = F.col("occ") > 1
+    if keep_first:
+        drop = drop & (
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("s") != F.col("first.s"))
+        )
+    starts = (
+        win.join(per_hash, "h")
+        .filter(drop)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("starts"))
+    )
+
+    # merge sorted removal starts into disjoint covered intervals
+    # [a, b] (token indices, 0-based inclusive); adjacent/overlapping
+    # windows coalesce, so |intervals| <= |distinct spans|, typically
+    # tiny even when |starts| is large.
+    empty_ivs = F.array().cast("array<struct<a:int,b:int>>")
+    ivs = F.aggregate(
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        empty_ivs,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["b"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["a"].alias("a"),
+                        F.greatest(
+                            F.element_at(acc, -1)["b"], s + F.lit(w - 1)
+                        ).alias("b"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(s.alias("a"), (s + F.lit(w - 1)).alias("b")))
+            )
+        ),
+    )
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # kept token ranges = the gaps between covered intervals (plus the
+    # tail after the last one); each gap is sliced out of toks in-row.
+    gaps = F.concat(
+        F.transform(
+            F.col("_ivs"),
+            lambda iv, i: F.struct(
+                F.when(i == 0, F.lit(0))
+                .otherwise(F.element_at(F.col("_ivs"), i)["b"] + 1)
+                .alias("gs"),
+                (iv["a"] - 1).alias("ge"),
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.when(F.size(F.col("_ivs")) > 0, F.element_at(F.col("_ivs"), -1)["b"] + 1)
+                .otherwise(F.lit(0))
+                .alias("gs"),
+                (n - 1).alias("ge"),
+            )
+        ),
+    )
+    kept = F.flatten(
+        F.transform(
+            F.filter(F.col("_gaps"), lambda g: g["gs"] <= g["ge"]),
+            lambda g: F.slice(toks, g["gs"] + 1, g["ge"] - g["gs"] + 1),
+        )
+    )
+    removed = F.aggregate(
+        F.col("_ivs"),
+        F.lit(0),
+        lambda acc, iv: acc + iv["b"] - iv["a"] + 1,
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col))
+        .join(starts, "doc_id", "left")
+        .withColumn("_ivs", ivs)
+        .withColumn("_gaps", gaps)
+        .withColumn("_removed", removed)
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias(text_col),
+            n.cast("bigint").alias("n_tokens"),
+            F.col("_removed").cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_auto(
     docs: DataFrame,
     text_col: str = "text",

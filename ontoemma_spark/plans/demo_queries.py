@@ -1082,6 +1082,64 @@ GROUP BY 1, 2
 """
 
 
+def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): duplicated >= 20-token
+    spans are EXCISED from every non-first occurrence and the docs
+    rebuilt — the removal counterpart to substring_dup_pairs'
+    detection, over the same corpus (whose duplicated 20-grams that
+    query proves exist). Distributed shape: narrow window extraction,
+    map-side-combinable min(struct) first-occurrence agg, one hash
+    join back, in-row interval-merge rebuild — no windows over hot
+    grams, no all-pairs (dedup.exact_substring_removal)."""
+    from ontoemma_spark.operators.dedup import exact_substring_removal
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_removal(docs, w=20).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text", "n_tokens", "n_removed",
+    )
+
+
+# DuckDB twin: row_number over each window hash marks non-first
+# occurrences; a token is removed iff covered by a marked window
+# (EXISTS range probe); docs rebuild via ordered string_agg. Slices
+# are 1-based end-inclusive (t[i+1 : i+20] = 20 tokens from 0-based
+# start i).
+SQL_SUBSTRING_REMOVAL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), wins AS (
+  SELECT doc_id, i AS s, md5(array_to_string(t[i + 1 : i + 20], ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 19)) AS i
+        FROM toks WHERE len(t) >= 20)
+), flagged AS (
+  SELECT doc_id, s,
+         count(*)     OVER (PARTITION BY h) AS occ,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM wins
+), marked AS (
+  SELECT doc_id, s FROM flagged WHERE occ > 1 AND rn > 1
+), toklist AS (
+  SELECT doc_id, i AS p, t[i + 1] AS tok, len(t) AS n
+  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)
+), kept AS (
+  SELECT tk.doc_id, tk.p, tk.tok
+  FROM toklist tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM marked m
+    WHERE m.doc_id = tk.doc_id AND tk.p >= m.s AND tk.p < m.s + 20)
+)
+SELECT CAST(tl.doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text,
+       CAST(max(tl.n) AS BIGINT) AS n_tokens,
+       CAST(max(tl.n) - count(k.p) AS BIGINT) AS n_removed
+FROM toklist tl
+LEFT JOIN kept k ON tl.doc_id = k.doc_id AND tl.p = k.p
+GROUP BY tl.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 20. ann_cosine — brute-force cosine vs a fixed query vector
 # ---------------------------------------------------------------------------
@@ -3572,6 +3630,7 @@ QUERIES: dict[str, callable] = {
     # Front block as of r4: new-in-r4 queries, then 10 queries added
     # late in r3 (never driver-verified), then 7 last driver-green in r2.
     # ------------------------------------------------------------------
+    "substring_removal": q_substring_removal,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3667,6 +3726,7 @@ ORACLES: dict[str, str] = {
     "dedup_resolve": SQL_DEDUP_RESOLVE,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
+    "substring_removal": SQL_SUBSTRING_REMOVAL,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -583,3 +583,61 @@ def test_paragraph_dedup_hand_case(spark):
     again = {r["doc_id"]: r["text"]
              for r in paragraph_dedup(docs.repartition(7)).collect()}
     assert again == {k: v["text"] for k, v in got.items()}
+
+
+def test_exact_substring_removal_hand_case(spark):
+    """Lee et al.-style ExactSubstr: duplicated >= w-token spans are
+    EXCISED (first corpus occurrence kept), untouched docs reproduce
+    byte-identical, a fully-duplicated doc rebuilds to "", within-doc
+    repeats lose their later copies, and keep_first=False excises every
+    copy. Deterministic under repartitioning (min-struct agg)."""
+    from ontoemma_spark.operators.dedup import exact_substring_removal
+
+    span = " ".join(f"dup{i}" for i in range(25))  # 25-token span, > w
+    def uniq(d, n):
+        return " ".join(f"u{d}x{i}" for i in range(n))
+
+    rows = [
+        (0, f"{uniq(0, 10)} {span} {uniq(0, 5)}"),   # first occurrence
+        (1, f"{uniq(1, 7)} {span} {uniq(1, 9)}"),    # later copy
+        (2, uniq(2, 30)),                            # no duplication
+        (3, span),                                   # doc IS the span
+        (4, "short doc under twenty tokens stays"),  # < w: no windows
+        (5, f"{span} {uniq(5, 3)} {span}"),          # two in-doc copies
+        (6, None),                                   # null text: absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           exact_substring_removal(docs, w=20).collect()}
+    orig = dict(rows)
+
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    # first occurrence and undup'd docs are byte-identical
+    for k in (0, 2, 4):
+        assert got[k]["text"] == orig[k] and got[k]["n_removed"] == 0, k
+    # the copy loses exactly the span; its unique head/tail survive
+    assert got[1]["text"] == f"{uniq(1, 7)} {uniq(1, 9)}"
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (41, 25)
+    # fully-duplicated doc rebuilds to "" (row kept — caller drops)
+    assert got[3]["text"] == "" and got[3]["n_removed"] == 25
+    # doc 5: doc 0 owns the corpus-first occurrence, so BOTH in-doc
+    # copies are non-first and both excise
+    assert got[5]["text"] == uniq(5, 3) and got[5]["n_removed"] == 50
+
+    # keep_first=False: doc 0's copy goes too
+    allgone = {r["doc_id"]: r for r in
+               exact_substring_removal(docs, w=20, keep_first=False).collect()}
+    assert allgone[0]["text"] == f"{uniq(0, 10)} {uniq(0, 5)}"
+    assert allgone[2]["text"] == orig[2]  # unique text still untouched
+
+    # lossless tokenization: runs of spaces / embedded newlines in
+    # untouched docs survive byte-identical
+    weird = spark.createDataFrame(
+        [(7, "a  b   c\nd e"), (8, "")], "doc_id bigint, text string")
+    wgot = {r["doc_id"]: r["text"] for r in
+            exact_substring_removal(weird, w=20).collect()}
+    assert wgot == {7: "a  b   c\nd e", 8: ""}
+
+    again = {r["doc_id"]: r["text"] for r in
+             exact_substring_removal(docs.repartition(7), w=20).collect()}
+    assert again == {k: v["text"] for k, v in got.items()}

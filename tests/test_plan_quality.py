@@ -237,3 +237,21 @@ def test_paragraph_dedup_no_window(spark):
     plan = _plan(paragraph_dedup(docs))
     assert "Window" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_exact_substring_removal_no_window_no_cartesian(spark):
+    """ExactSubstr removal: first-occurrence is the combinable
+    min-struct agg (no row_number window over a hot gram's occurrence
+    list), the mark-back is an equi hash join (never cartesian), and
+    the per-hash agg has a map-side partial. The interval merge and
+    rebuild are in-row folds — no extra exchange beyond the per-doc
+    groupBy."""
+    from ontoemma_spark.operators.dedup import exact_substring_removal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_substring_removal(docs, w=20))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "partial" in plan.lower(), plan
