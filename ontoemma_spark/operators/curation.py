@@ -110,6 +110,56 @@ def mixture_sample(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    url_col: str = "url",
+    train: float = 0.9,
+    dev: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Group-leakage-safe train/dev/test assignment: EVERY page of a
+    registrable host lands in the same split, decided by a salted hash
+    of the HOST, not the document. Near-duplicate pages overwhelmingly
+    share a host (templated articles, mirrored paths), so a per-doc
+    split would leak paraphrases of held-out text into train — the
+    standard web-corpus failure mode the "split by domain" rule
+    prevents.
+
+    Hash assignment (vs the exact-quantile stratified
+    training.train_dev_test_split) is a deliberate trade for the
+    10^12-page regime:
+      * ZERO shuffle — one narrow expression per row, no groupBy(host),
+        no window, no join;
+      * INCREMENTALLY STABLE — a host's split depends only on
+        md5(salt:host), so re-running after a new crawl batch never
+        moves an existing host (append-only splits; quantile splits
+        reshuffle the boundary every time the corpus grows);
+      * split sizes are proportional in expectation over hosts (law of
+        large numbers), not exact — the right side of the trade when a
+        0.1% size error is irrelevant and a moved host invalidates an
+        eval set.
+
+    The draw compares 8 hex digits lexicographically against
+    precomputed thresholds — engine-portable (Spark / DuckDB / Python
+    agree), same device as mixture_sample.
+
+    Adds (host, split) columns; split ∈ {train, dev, test}. Null/
+    unparseable URLs hash as host '' (one deterministic bucket).
+    """
+    from ontoemma_spark.operators.textstats import host_of
+
+    t_train = format(int(train * 16**8), "08x")
+    t_dev = format(int((train + dev) * 16**8), "08x")
+    host = F.coalesce(host_of(url_col), F.lit(""))
+    draw = F.substring(F.md5(F.concat(F.lit(f"{salt}:"), host)), 1, 8)
+    return docs.withColumn("host", host).withColumn(
+        "split",
+        F.when(draw < t_train, "train")
+        .when(draw < t_dev, "dev")
+        .otherwise("test"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,

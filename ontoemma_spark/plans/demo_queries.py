@@ -941,6 +941,49 @@ FROM norm GROUP BY canon_url
 """
 
 
+def q_host_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/dev/test split: every page of a host lands in
+    ONE split, decided by md5(salt:host) against precomputed hex
+    thresholds — zero-shuffle, incrementally stable (a new crawl batch
+    never moves an existing host). 100 synthetic hosts × ~5 pages over
+    the documents table (curation.leakage_safe_split)."""
+    from ontoemma_spark.operators.curation import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://Host"), (F.col("doc_id") % 100).cast("string"),
+            F.lit(".example.com/article/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return leakage_safe_split(pages).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "host", "split",
+    )
+
+
+# DuckDB twin: host by regex (Spark parse_url HOST keeps www, drops
+# the port), same md5 hex-threshold draw. 0.9*16^8 = e6666666,
+# 0.95*16^8 = f3333333.
+SQL_HOST_SPLIT = """
+WITH pages AS (
+  SELECT doc_id,
+         'https://Host' || CAST(doc_id % 100 AS VARCHAR)
+         || '.example.com/article/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), hosted AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host
+  FROM pages
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
+       CASE WHEN substr(md5('split:' || host), 1, 8) < 'e6666666' THEN 'train'
+            WHEN substr(md5('split:' || host), 1, 8) < 'f3333333' THEN 'dev'
+            ELSE 'test' END AS split
+FROM hosted
+"""
+
+
 def q_web_dedup_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl stage-0 dedup, the order a CC pipeline runs it:
     canonical-URL dedup (cheapest, exact — keep min doc_id per
@@ -3631,6 +3674,7 @@ QUERIES: dict[str, callable] = {
     # late in r3 (never driver-verified), then 7 last driver-green in r2.
     # ------------------------------------------------------------------
     "substring_removal": q_substring_removal,
+    "host_split": q_host_split,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3727,6 +3771,7 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "substring_removal": SQL_SUBSTRING_REMOVAL,
+    "host_split": SQL_HOST_SPLIT,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -308,3 +308,42 @@ def test_curate_corpus_pre_dedup_paragraphs(spark):
         assert on[i]["n_tokens"] == off[i]["n_tokens"] - boiler_delta, i
     # the all-boilerplate doc rebuilt to "" and fell to the quality gate
     assert 99 not in on and 99 in off
+
+
+def test_leakage_safe_split(spark):
+    """All pages of a host share one split; assignment is deterministic
+    and independent of other rows (adding docs never moves a host);
+    fractions are approximately honored over many hosts; null URLs get
+    the deterministic '' bucket."""
+    from ontoemma_spark.operators.curation import leakage_safe_split
+
+    rows = [
+        (h * 10 + p, f"https://host{h}.example.com/page/{p}")
+        for h in range(200) for p in range(3)
+    ] + [(9999, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = leakage_safe_split(docs).collect()
+
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    # leakage-safety: one split per host, no exceptions
+    assert all(len(s) == 1 for s in by_host.values())
+    assert by_host[""] and len(by_host) == 201  # null url → '' host
+
+    splits = {h: next(iter(s)) for h, s in by_host.items() if h}
+    n = len(splits)
+    frac_train = sum(1 for v in splits.values() if v == "train") / n
+    frac_dev = sum(1 for v in splits.values() if v == "dev") / n
+    assert 0.84 <= frac_train <= 0.96, frac_train
+    assert frac_dev <= 0.12
+    assert {"train", "dev", "test"} >= set(splits.values())
+
+    # incremental stability: a disjoint second batch reproduces the
+    # SAME host assignments (hash depends only on the host)
+    more = spark.createDataFrame(
+        [(100000 + h, f"https://host{h}.example.com/new") for h in range(200)],
+        "doc_id bigint, url string",
+    )
+    again = {r["host"]: r["split"] for r in leakage_safe_split(more).collect()}
+    assert again == splits
