@@ -241,6 +241,69 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
+def _ppm_header(payload: bytes, pos: int) -> tuple[int, int, int, int]:
+    """Parse one P6 header starting at pos (after checking the magic):
+    (width, height, maxval, data_start). Whitespace-separated fields,
+    '#' comment lines allowed."""
+    parts, p = [], pos + 2
+    n = len(payload)
+    while len(parts) < 3:
+        while p < n and payload[p : p + 1].isspace():
+            p += 1
+        if payload[p : p + 1] == b"#":
+            while p < n and payload[p : p + 1] != b"\n":
+                p += 1
+            continue
+        start = p
+        while p < n and not payload[p : p + 1].isspace():
+            p += 1
+        if start == p:
+            raise ValueError("truncated PPM header")
+        parts.append(int(payload[start:p]))
+    w, h, maxval = parts
+    return w, h, maxval, p + 1  # single whitespace after maxval
+
+
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Concatenated-P6 'video' container: raw frames back-to-back, each
+    a self-describing P6 member. The one video container that is fully
+    decodable without a codec library — the multimodal frame-sampling
+    operator's real-decode path (entropy-coded containers like MP4 stay
+    behind the flagged sha fallback seam)."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream into its member frame payloads.
+    Strict: the whole payload must be consumed by valid members —
+    trailing or interleaved garbage raises (a half-parsed video should
+    fail loudly into the operator's corrupt_* fallback, not truncate
+    silently)."""
+    members, pos, n = [], 0, len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"non-P6 bytes at offset {pos}")
+        w, h, maxval, data_start = _ppm_header(payload, pos)
+        if maxval != 255:
+            raise ValueError("only maxval=255 PPM supported")
+        end = data_start + w * h * 3
+        if end > n:
+            raise ValueError("truncated PPM member")
+        members.append(bytes(payload[pos:end]))
+        pos = end
+    return members
+
+
+def nearest_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center mapping) for H×W or
+    H×W×C arrays — real resizing for the resize operator, up or down,
+    deterministic and dependency-free."""
+    h, w = arr.shape[0], arr.shape[1]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return arr[rows][:, cols].copy()
+
+
 def sniff(payload: bytes) -> str:
     if payload[:2] == b"BM":
         return "bmp"

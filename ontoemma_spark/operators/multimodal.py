@@ -116,6 +116,148 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id string, decoded boolean, format string, width int, height int, "
+    "out_width int, out_height int, payload binary"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Real nearest-neighbor resize over binary image columns
+    (mapInPandas, Arrow-batched): decodable formats (BMP/PNG/PPM) are
+    decoded, resampled (codecs.nearest_resize — pixel-center mapping),
+    and re-encoded as BMP (the family's uncompressed interchange
+    format, bit-exact round-trippable); codec-needing formats pass
+    their ORIGINAL payload through flagged decoded=false, so a
+    downstream consumer never silently treats unresized bytes as
+    resized. (width, height) report the SOURCE dims; (out_width,
+    out_height) the target.
+
+    Scale: one interpreter visit per Arrow batch; payload-skew guidance
+    as extract_media_features (repartition on media_id so batches are
+    size-uniform). Output payloads are bounded by out_w*out_h*3 + 54
+    bytes for decoded rows — a resize to thumbnail size SHRINKS the
+    shuffle, so run it before any exchange that carries the binary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "decoded", "format", "width", "height",
+                    "out_width", "out_height", "payload")}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(b or b"")
+                fmt = codecs.sniff(payload)
+                decoded, w, h, out_payload = False, 0, 0, payload
+                if fmt in ("bmp", "png", "ppm"):
+                    try:
+                        arr = codecs.decode_image(payload)
+                        h, w = arr.shape[0], arr.shape[1]
+                        out_payload = codecs.encode_bmp(
+                            codecs.nearest_resize(arr, out_h, out_w)
+                        )
+                        decoded = True
+                    except Exception:
+                        fmt = f"corrupt_{fmt}"
+                out["media_id"].append(mid)
+                out["decoded"].append(decoded)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(out_w if decoded else 0)
+                out["out_height"].append(out_h if decoded else 0)
+                out["payload"].append(out_payload)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = (
+    "media_id string, frame_idx int, n_frames int, decoded boolean, "
+    "width int, height int, feature array<float>"
+)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2, feat_dim: int = 8) -> DataFrame:
+    """Frame sampling over binary video columns: one OUTPUT ROW per
+    sampled frame (indices 0, k, 2k, … — the standard stride sample).
+    The real-decode path is the concatenated-P6 stream container
+    (codecs.split_ppm_stream) — the one video container fully decodable
+    without a codec library; each sampled frame yields its dims and the
+    aHash grid feature. Entropy-coded containers (MP4 etc.) emit a
+    single flagged row (decoded=false, frame_idx=0, n_frames=0, sha
+    pseudo-feature) — the documented seam where a production codec
+    plugs in.
+
+    Scale: mapInPandas row-fanout (1 video → ceil(n_frames/k) rows)
+    stays inside the task — no shuffle; a frame row carries FEATURES,
+    not pixels, so the operator's output is orders of magnitude smaller
+    than its input (run it in the scan stage, before any exchange)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "n_frames", "decoded",
+                    "width", "height", "feature")}
+
+            def emit(mid, idx, n, ok, w, h, feat):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["n_frames"].append(n)
+                out["decoded"].append(ok)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat)
+
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(b or b"")
+                try:
+                    frames = codecs.split_ppm_stream(payload)
+                except Exception:
+                    emit(mid, 0, 0, False, 0, 0,
+                         _sha_fallback(payload, feat_dim))
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    arr = codecs.decode_ppm(frames[idx])
+                    emit(mid, idx, len(frames), True,
+                         arr.shape[1], arr.shape[0],
+                         codecs.image_features(arr, grid=8))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
+def synthetic_videos(spark, n: int = 24) -> DataFrame:
+    """Deterministic 'video' table: concatenated-P6 streams with
+    formula-derived shape — video i has 3 + i%4 frames of
+    (4 + i%3) × (5 + i%2) pixels, frame j's pixel k = (i*31 + j*17 + k)
+    % 256 — so relational properties (frame counts, dims) are
+    arithmetic-checkable without decoding, while every 5th payload is
+    an MP4-magic blob exercising the flagged fallback."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        if i % 5 == 4:
+            payload = b"\x00\x00\x00\x18ftypmp42" + bytes(
+                [(i * 11 + j) % 256 for j in range(24)]
+            )
+        else:
+            h, w = 4 + i % 3, 5 + i % 2
+            frames = [
+                ((np.arange(h * w * 3, dtype=np.int64) * 1 + i * 31 + j * 17)
+                 % 256).astype(np.uint8).reshape(h, w, 3)
+                for j in range(3 + i % 4)
+            ]
+            payload = codecs.encode_ppm_stream(frames)
+        rows.append((f"v{i:04d}", "video", payload, "application/octet-stream",
+                     None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 50) -> DataFrame:
     """Deterministic media table for tests, cycling through REAL
     payloads (BMP / PNG / WAV — bit-exact round-trippable through

@@ -1830,6 +1830,39 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling with REAL decoding: synthetic_videos builds
+    concatenated-P6 streams whose shape is formula-derived (video i:
+    3+i%4 frames of (4+i%3)x(5+i%2) px; every 5th an MP4-magic
+    fallback blob), sample_frames stride-2 samples and DECODES each
+    frame — so the relational output (frame counts, dims, fallback
+    flags) only matches the oracle's arithmetic twin if the binary
+    container round-trips correctly. Features stay pytest-pinned
+    (binary decode is not SQL-expressible)."""
+    from ontoemma_spark.operators.multimodal import sample_frames, synthetic_videos
+
+    return sample_frames(synthetic_videos(spark, n=40), every_k=2).select(
+        "media_id", "frame_idx", "n_frames", "decoded", "width", "height",
+    )
+
+
+# Arithmetic twin of synthetic_videos' generative formula — no decoding,
+# just the shape the decode must reproduce.
+SQL_FRAME_SAMPLE = """
+WITH v AS (SELECT CAST(i AS INT) AS i FROM range(40) t(i))
+SELECT 'v' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+       0 AS frame_idx, 0 AS n_frames, FALSE AS decoded,
+       0 AS width, 0 AS height
+FROM v WHERE i % 5 = 4
+UNION ALL
+SELECT 'v' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(3 + i % 4 AS INT) AS n_frames, TRUE AS decoded,
+       CAST(5 + i % 2 AS INT) AS width, CAST(4 + i % 3 AS INT) AS height
+FROM (SELECT i, unnest(range(0, 3 + i % 4, 2)) AS f FROM v WHERE i % 5 <> 4)
+"""
+
+
 # 26. triple_extract — the extract stage's pattern extractor (SQL twin)
 def q_triple_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract-stage demo: synthesize 'X is a Y.' sentences from document
@@ -3675,6 +3708,7 @@ QUERIES: dict[str, callable] = {
     # ------------------------------------------------------------------
     "substring_removal": q_substring_removal,
     "host_split": q_host_split,
+    "frame_sample": q_frame_sample,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3772,6 +3806,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_dups": SQL_NGRAM_JACCARD_DUPS,
     "substring_removal": SQL_SUBSTRING_REMOVAL,
     "host_split": SQL_HOST_SPLIT,
+    "frame_sample": SQL_FRAME_SAMPLE,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

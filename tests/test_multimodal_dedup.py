@@ -641,3 +641,82 @@ def test_exact_substring_removal_hand_case(spark):
     again = {r["doc_id"]: r["text"] for r in
              exact_substring_removal(docs.repartition(7), w=20).collect()}
     assert again == {k: v["text"] for k, v in got.items()}
+
+
+def test_resize_images_real_resample(spark):
+    """Decodable images resize for real (nearest-neighbor, pixel-center
+    mapping, verified against the numpy reference on a known gradient);
+    output payloads are round-trippable BMPs at the target dims;
+    codec-needing formats pass original bytes through decoded=false."""
+    import numpy as np
+
+    from ontoemma_spark.media import codecs
+    from ontoemma_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=16)
+    got = {r["media_id"]: r for r in resize_images(media, out_w=6, out_h=4).collect()}
+    assert len(got) == 16
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+
+    for mid, r in got.items():
+        if r["decoded"]:
+            assert (r["out_width"], r["out_height"]) == (6, 4)
+            arr = codecs.decode_bmp(bytes(r["payload"]))
+            assert arr.shape == (4, 6, 3)
+            expect = codecs.nearest_resize(codecs.decode_image(src[mid]), 4, 6)
+            assert np.array_equal(arr, expect), mid
+            assert (r["height"], r["width"]) == codecs.decode_image(src[mid]).shape[:2]
+        else:
+            assert bytes(r["payload"]) == src[mid]  # untouched passthrough
+            assert r["format"] in ("jpeg", "wav")   # non-image payloads
+    # variants 1 (BMP) and 2 (PNG) of every 4 decode as images
+    assert sum(1 for r in got.values() if r["decoded"]) == 8
+
+
+def test_sample_frames_ppm_stream(spark):
+    """Concatenated-P6 'videos' decode for real: stride-k sampling emits
+    frames 0, k, 2k… with formula-matching dims/counts and features that
+    equal image_features of the directly-decoded frame; MP4-magic blobs
+    emit one flagged fallback row."""
+    from ontoemma_spark.media import codecs
+    from ontoemma_spark.operators.multimodal import sample_frames, synthetic_videos
+
+    vids = synthetic_videos(spark, n=24)
+    rows = sample_frames(vids, every_k=2).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+
+    raw = {r["media_id"]: bytes(r["payload"]) for r in vids.collect()}
+    assert set(by_vid) == set(raw)
+    for i in range(24):
+        mid = f"v{i:04d}"
+        got = sorted(by_vid[mid], key=lambda r: r["frame_idx"])
+        if i % 5 == 4:  # fallback container
+            assert len(got) == 1 and not got[0]["decoded"]
+            assert (got[0]["n_frames"], got[0]["width"]) == (0, 0)
+            continue
+        n_frames = 3 + i % 4
+        h, w = 4 + i % 3, 5 + i % 2
+        assert [r["frame_idx"] for r in got] == list(range(0, n_frames, 2))
+        assert all(r["n_frames"] == n_frames and r["decoded"] for r in got)
+        assert all((r["width"], r["height"]) == (w, h) for r in got)
+        # feature parity vs direct decode of the same member
+        members = codecs.split_ppm_stream(raw[mid])
+        for r in got:
+            expect = codecs.image_features(
+                codecs.decode_ppm(members[r["frame_idx"]]), grid=8)
+            # array<float> storage is float32 — compare to that precision
+            assert all(abs(float(a) - b) < 1e-5
+                       for a, b in zip(r["feature"], expect)), (mid, r["frame_idx"])
+
+    # strictness: trailing garbage after a valid member → flagged, not
+    # silently truncated
+    bad = spark.createDataFrame(
+        [("bad1", "video",
+          raw["v0000"] + b"GARBAGE", "application/octet-stream", None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int",
+    )
+    brow = sample_frames(bad).collect()
+    assert len(brow) == 1 and not brow[0]["decoded"]
