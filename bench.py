@@ -55,6 +55,10 @@ EXTENDED = [
     "url_dedup",
     "paragraph_dedup",
     "web_dedup_pass",
+    # round 4 (late): ExactSubstr span excision, host split, frame sample
+    "substring_removal",
+    "host_split",
+    "frame_sample",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

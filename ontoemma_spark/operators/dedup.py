@@ -113,17 +113,22 @@ def minhash_signatures_narrow(
     return docs.select(F.col(id_col).alias("doc_id"), *cols)
 
 
-def lsh_candidate_pairs(
+def band_hashes(
     signatures: DataFrame, num_hashes: int = 8, bands: int = 2
 ) -> DataFrame:
-    """Band the signature (rows = num_hashes/bands) and bucket-join:
-    pairs agreeing on ANY full band are near-duplicate candidates.
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """(doc_id, band_idx, band_hash): the stacked LSH band table of a
+    signature set (rows per band = num_hashes/bands) — the structure
+    both the self-join (lsh_candidate_pairs) and the batch-vs-corpus
+    probe (incremental_dedup) bucket on.
 
     Docs with NO shingles (shorter than the shingle width) carry
     all-NULL signatures in the narrow sketch form; they are excluded
     up front — otherwise every such doc would share the md5('')
-    band hash and one bucket would go quadratic at corpus scale."""
+    band hash and one bucket would go quadratic at corpus scale.
+
+    Single-pass stacking (posexplode over the band array) — a union of
+    per-band selects would recompute the signature plan once per band
+    per consumer."""
     signatures = signatures.filter(F.col("h0").isNotNull())
     rows_per_band = num_hashes // bands
     band_cols = [
@@ -132,14 +137,21 @@ def lsh_candidate_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    # single-pass band stacking (posexplode) — a union of selects would
-    # recompute the signature plan once per band per join side
-    stacked = signatures.select("doc_id", *band_cols).select(
+    return signatures.select("doc_id", *band_cols).select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
             "band_idx", "band_hash"
         ),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 2
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and bucket-join:
+    pairs agreeing on ANY full band are near-duplicate candidates.
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    stacked = band_hashes(signatures, num_hashes=num_hashes, bands=bands)
     a = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b_side = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     return (
@@ -147,6 +159,106 @@ def lsh_candidate_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def dedup_state(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent dedup state a production ingest maintains between
+    crawl batches: (content-hash set, LSH band-membership set) of
+    everything already admitted.
+
+      hashes: (content_hash)        — md5(text), distinct
+      bands:  (band_idx, band_hash) — distinct band memberships (no
+              doc_id: the probe only asks "seen?", so the state is the
+              band VOCABULARY — far smaller than the per-doc table)
+
+    At 10^12 docs both are corpus-scale tables: write each bucketed by
+    its join key (tableio.write_bucketed on content_hash / band_hash)
+    so every future batch probe co-locates and only the batch side
+    shuffles."""
+    hashes = docs.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    sig = minhash_signatures_narrow(
+        docs, text_col=text_col, id_col=id_col, w=w, num_hashes=num_hashes
+    )
+    bands_df = (
+        band_hashes(sig, num_hashes=num_hashes, bands=bands)
+        .select("band_idx", "band_hash")
+        .distinct()
+    )
+    return hashes, bands_df
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    seen_bands: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Batch-vs-corpus dedup — the incremental-ingest shape (a new
+    crawl batch against the state of everything already admitted),
+    complementing the batch-internal ops (exact_duplicates, LSH):
+
+      exact_dup: the doc's content hash is already in seen_hashes;
+      near_dup:  ANY of the doc's LSH band hashes is in seen_bands
+                 (same banding as lsh_candidate_pairs — a band
+                 collision is the standard near-dup candidate signal;
+                 an exact dup of a banded doc trivially collides, so
+                 its near_dup is true too when bands are probed).
+
+    Returns new_docs + (content_hash, exact_dup, near_dup) — FLAGS,
+    not a filtered set: admission policy (drop near-dups vs rescore
+    them) is the caller's, and flagged output keeps the decision
+    auditable. Batch-INTERNAL duplicates are deliberately not flagged
+    here — run the batch ops for that, then fold the admitted batch
+    into the state (union of dedup_state outputs).
+
+    Scale: both probes are equi joins keyed on content_hash /
+    (band_idx, band_hash), |batch|-sized on the probe side; with the
+    state tables bucketed on those keys (dedup_state's contract) only
+    the batch shuffles. Nothing here scans more than the
+    already-materialized state."""
+    seen = seen_hashes.select("content_hash").distinct().withColumn(
+        "_exact", F.lit(True)
+    )
+    out = (
+        new_docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .join(seen, "content_hash", "left")
+    )
+    if seen_bands is not None:
+        sig = minhash_signatures_narrow(
+            new_docs, text_col=text_col, id_col=id_col, w=w, num_hashes=num_hashes
+        )
+        hits = (
+            band_hashes(sig, num_hashes=num_hashes, bands=bands)
+            .join(
+                seen_bands.select("band_idx", "band_hash").distinct(),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            )
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+            .withColumn("_near", F.lit(True))
+        )
+        out = out.join(hits, id_col, "left")
+        near = F.coalesce(F.col("_near"), F.lit(False))
+    else:
+        near = F.lit(False)
+    return out.select(
+        *new_docs.columns,
+        "content_hash",
+        F.coalesce(F.col("_exact"), F.lit(False)).alias("exact_dup"),
+        near.alias("near_dup"),
     )
 
 

@@ -691,6 +691,110 @@ FROM dup
 """
 
 
+# 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: docs < 250 are the already-admitted
+    corpus (dedup_state: content hashes + distinct LSH band vocab);
+    docs 250..499 are the new batch, with every 7th an exact rehit of
+    prior doc (id-250) and every 7th+1 that text plus a tail (a near
+    rehit when enough minhash mins survive — both engines compute the
+    same collision, so the flag is deterministic). Returns the flagged
+    batch (dedup.incremental_dedup)."""
+    from ontoemma_spark.operators.dedup import dedup_state, incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    pri = prior.select(
+        F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext")
+    )
+    base = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    batch = base.join(
+        pri, base["doc_id"] - 250 == pri["_pid"]
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.col("_ptext"))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.col("_ptext"), F.lit(" qq")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hashes, bands_tbl = dedup_state(
+        prior, w=SHINGLE_W, num_hashes=NUM_MINHASHES, bands=LSH_BANDS
+    )
+    return incremental_dedup(
+        batch, hashes, bands_tbl,
+        w=SHINGLE_W, num_hashes=NUM_MINHASHES, bands=LSH_BANDS,
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "content_hash", "exact_dup", "near_dup",
+    )
+
+
+def _sql_sig_chain(src: str, p: str) -> str:
+    """CTE fragments computing the minhash signature + band table of
+    `src` (doc_id, text), prefixed `p` — the twin of
+    minhash_signatures_narrow ∘ band_hashes."""
+    mins = ", ".join(
+        f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(NUM_MINHASHES)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM {p}sig".format(
+            b=b, p=p,
+            expr=" || '|' || ".join(
+                f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+{p}toks AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos, tok
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM {src}
+  )
+), {p}sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           concat_ws(' ', tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS _last
+    FROM {p}toks
+  ) WHERE _last IS NOT NULL
+), {p}sig AS (
+  SELECT doc_id, {mins} FROM {p}sh GROUP BY doc_id
+), {p}bands AS (
+  {bands}
+)"""
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH prior AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+batch AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 7 = 0 THEN p.text
+              WHEN d.doc_id % 7 = 1 THEN p.text || ' qq'
+              ELSE d.text END AS text
+  FROM documents d JOIN prior p ON p.doc_id = d.doc_id - 250
+  WHERE d.doc_id >= 250
+),
+{_sql_sig_chain("prior", "p")},
+{_sql_sig_chain("batch", "b")},
+phash AS (SELECT DISTINCT md5(text) AS content_hash FROM prior),
+pvocab AS (SELECT DISTINCT band_idx, band_hash FROM pbands),
+near AS (
+  SELECT DISTINCT b.doc_id
+  FROM bbands b JOIN pvocab v USING (band_idx, band_hash)
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       md5(b.text) AS content_hash,
+       (ph.content_hash IS NOT NULL) AS exact_dup,
+       (n.doc_id IS NOT NULL) AS near_dup
+FROM batch b
+LEFT JOIN phash ph ON md5(b.text) = ph.content_hash
+LEFT JOIN near n ON n.doc_id = b.doc_id
+"""
+
+
 # 17b. dedup_resolve — the dedup APPLY step: pairs → clusters → survivors
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup end-to-end: LSH near-dup pairs → connected-component
@@ -3709,6 +3813,7 @@ QUERIES: dict[str, callable] = {
     "substring_removal": q_substring_removal,
     "host_split": q_host_split,
     "frame_sample": q_frame_sample,
+    "incremental_dedup": q_incremental_dedup,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3807,6 +3912,7 @@ ORACLES: dict[str, str] = {
     "substring_removal": SQL_SUBSTRING_REMOVAL,
     "host_split": SQL_HOST_SPLIT,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

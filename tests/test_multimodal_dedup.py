@@ -720,3 +720,63 @@ def test_sample_frames_ppm_stream(spark):
     )
     brow = sample_frames(bad).collect()
     assert len(brow) == 1 and not brow[0]["decoded"]
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    """Batch-vs-corpus flags: exact content rehits flag exact_dup (and
+    near_dup — identical sigs collide trivially); disjoint-vocabulary
+    docs flag neither; near flags equal an independently-computed band
+    intersection (exploded-form signatures cross-check the narrow
+    form); batch-internal dups are NOT flagged; hash-only mode leaves
+    near_dup false."""
+    from ontoemma_spark.operators.dedup import (
+        band_hashes,
+        dedup_state,
+        incremental_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    prior = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    near_text = " ".join(f"w3x{j}" for j in range(29)) + " CHANGED"
+    batch = spark.createDataFrame(
+        [
+            (100, " ".join(f"w5x{j}" for j in range(30))),  # exact rehit of 5
+            (101, near_text),                               # near: 29/30 of doc 3
+            (102, " ".join(f"fresh{j}" for j in range(30))),  # new vocab
+            (103, " ".join(f"other{j}" for j in range(30))),  # batch-internal...
+            (104, " ".join(f"other{j}" for j in range(30))),  # ...exact pair
+        ],
+        "doc_id bigint, text string",
+    )
+    hashes, bands_tbl = dedup_state(prior)
+    got = {r["doc_id"]: r for r in
+           incremental_dedup(batch, hashes, bands_tbl).collect()}
+
+    assert got[100]["exact_dup"] and got[100]["near_dup"]
+    assert not got[102]["exact_dup"] and not got[102]["near_dup"]
+    # batch-internal duplicates (103/104) are not corpus rehits
+    assert not got[103]["exact_dup"] and not got[104]["exact_dup"]
+    assert not got[101]["exact_dup"]
+
+    # near flag == independent band intersection via the EXPLODED
+    # signature form (different code path than the narrow sketch)
+    prior_bands = {
+        (r["band_idx"], r["band_hash"])
+        for r in band_hashes(minhash_signatures(word_shingles(prior, w=3))).collect()
+    }
+    batch_bands = band_hashes(
+        minhash_signatures(word_shingles(batch, w=3))).collect()
+    expect_near = {}
+    for r in batch_bands:
+        expect_near.setdefault(r["doc_id"], False)
+        if (r["band_idx"], r["band_hash"]) in prior_bands:
+            expect_near[r["doc_id"]] = True
+    assert {d: got[d]["near_dup"] for d in got} == expect_near
+
+    # hash-only mode: no band probe, near_dup stays false
+    only = {r["doc_id"]: r for r in incremental_dedup(batch, hashes).collect()}
+    assert only[100]["exact_dup"] and not only[100]["near_dup"]
