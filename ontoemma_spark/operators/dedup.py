@@ -524,14 +524,18 @@ def exact_substring_removal(
         F.count(F.lit(1)).alias("occ"),
         F.min(F.struct("doc_id", "s")).alias("first"),
     )
-    drop = F.col("occ") > 1
+    # pre-filter to duplicated hashes BEFORE the mark-back join: most
+    # windows in web text are unique, so the inner join against the
+    # occ>1 subset emits only the duplicated windows instead of
+    # carrying every window row through and filtering after.
+    dup_hashes = per_hash.filter(F.col("occ") > 1)
+    drop = F.lit(True)
     if keep_first:
-        drop = drop & (
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("s") != F.col("first.s"))
+        drop = (F.col("doc_id") != F.col("first.doc_id")) | (
+            F.col("s") != F.col("first.s")
         )
     starts = (
-        win.join(per_hash, "h")
+        win.join(dup_hashes, "h")
         .filter(drop)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("starts"))
