@@ -148,8 +148,17 @@ def leakage_safe_split(
     """
     from ontoemma_spark.operators.textstats import host_of
 
-    t_train = format(int(train * 16**8), "08x")
-    t_dev = format(int((train + dev) * 16**8), "08x")
+    if train < 0 or dev < 0 or train + dev > 1:
+        raise ValueError(f"invalid split fractions train={train} dev={dev}")
+
+    def _thresh(frac: float) -> str:
+        # frac >= 1.0 needs 9 hex digits, which loses the lexicographic
+        # compare against 8-digit draws — use the above-every-draw
+        # sentinel instead (mixture_sample's device)
+        return "zzzzzzzz" if frac >= 1.0 else format(int(frac * 16**8), "08x")
+
+    t_train = _thresh(train)
+    t_dev = _thresh(train + dev)
     host = F.coalesce(host_of(url_col), F.lit(""))
     draw = F.substring(F.md5(F.concat(F.lit(f"{salt}:"), host)), 1, 8)
     return docs.withColumn("host", host).withColumn(

@@ -138,6 +138,8 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
     size-uniform). Output payloads are bounded by out_w*out_h*3 + 54
     bytes for decoded rows — a resize to thumbnail size SHRINKS the
     shuffle, so run it before any exchange that carries the binary."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {out_w}x{out_h}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -194,6 +196,8 @@ def sample_frames(media: DataFrame, every_k: int = 2, feat_dim: int = 8) -> Data
     stays inside the task — no shuffle; a frame row carries FEATURES,
     not pixels, so the operator's output is orders of magnitude smaller
     than its input (run it in the scan stage, before any exchange)."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
