@@ -86,3 +86,34 @@ def gate_page_stream(
             "warc_ts", watermark
         ).dropDuplicatesWithinWatermark(["content_hash"])
     return gated.dropDuplicates(["content_hash"])
+
+
+def flag_stream_against_state(pages: DataFrame, seen_hashes: DataFrame) -> DataFrame:
+    """Stream-static incremental dedup (the streaming face of
+    dedup.incremental_dedup's exact probe): left-join the ingest stream
+    against the admitted corpus' content-hash state and flag rehits.
+    A stream-static equi join is stateless on the stream side —
+    composable after gate_page_stream's watermark dedup with no second
+    stateful operator.
+
+    The LSH band probe deliberately stays batch-only
+    (incremental_dedup): its exploded band collisions need a per-doc
+    re-aggregation, a second stateful op Structured Streaming disallows
+    after the dedup — run it on the materialized micro-batch output
+    instead (the state table is static either way).
+
+    Adds (content_hash if absent, exact_rehit). Works identically on a
+    batch DataFrame — the parity test pins it."""
+    src = (
+        pages
+        if "content_hash" in pages.columns
+        else pages.withColumn("content_hash", F.md5(F.col("text")))
+    )
+    seen = seen_hashes.select("content_hash").distinct().withColumn(
+        "_seen", F.lit(True)
+    )
+    return (
+        src.join(seen, "content_hash", "left")
+        .withColumn("exact_rehit", F.coalesce(F.col("_seen"), F.lit(False)))
+        .drop("_seen")
+    )

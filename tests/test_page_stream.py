@@ -95,3 +95,54 @@ def test_page_gate_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected_hashes
+
+
+def test_flag_stream_against_state_matches_batch(spark, tmp_path):
+    """Stream-static rehit flagging composes after the gate's watermark
+    dedup (no second stateful op) and produces exactly the batch
+    operator's exact flags; fresh content is unflagged."""
+    from ontoemma_spark.operators.dedup import dedup_state
+    from ontoemma_spark.streaming.pages import flag_stream_against_state
+
+    prior = _pages(spark, n=30).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    hashes, _ = dedup_state(prior, id_col="doc_id")
+
+    src = str(tmp_path / "pages_incr")
+    batch_pages = _pages(spark, n=60)  # first 30 texts rehit the state
+    batch_pages.repartition(3).write.mode("overwrite").parquet(src)
+
+    # batch twin through the same composition
+    expected = {
+        r["content_hash"]: r["exact_rehit"]
+        for r in flag_stream_against_state(
+            gate_page_stream(spark.read.parquet(src)), hashes
+        ).collect()
+    }
+    assert True in expected.values() and False in expected.values()
+
+    flagged = flag_stream_against_state(
+        gate_page_stream(read_page_stream(spark, src)), hashes
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("t_incr_flags")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                r["content_hash"]: r["exact_rehit"]
+                for r in spark.table("t_incr_flags").collect()
+            }
+            if got == expected:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == expected
