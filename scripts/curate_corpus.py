@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--pre-dedup-paragraphs", action="store_true",
+                    help="CC-Net stage 0: drop corpus-wide repeated "
+                         "paragraphs before scoring (rewrites doc text)")
     ap.add_argument("--synthetic", action="store_true")
     args = ap.parse_args()
 
@@ -92,6 +95,7 @@ def main() -> None:
         docs, benchmark, weights,
         max_tokens=args.max_tokens, min_quality=args.min_quality,
         n_pack_groups=n_groups,
+        pre_dedup_paragraphs=args.pre_dedup_paragraphs,
     )
     packed.write.mode("overwrite").parquet(args.out)
 
