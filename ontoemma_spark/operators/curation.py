@@ -272,6 +272,53 @@ def pack_sequences_py(
     return out
 
 
+def pre_dedup_paragraph_stage(docs: DataFrame) -> DataFrame:
+    """curate_corpus stage 0 (opt-in): corpus-wide paragraph dedup,
+    explicit drop of docs that rebuilt empty (an empty doc would
+    otherwise score exactly 0.5 on the quality gate: zero stopwords
+    and trivially-distinct tokens both pass), and the doc_id join that
+    carries every non-text column (source for sampling, the caller's
+    pack group, ...) onto the rebuilt text. Shared by curate_corpus
+    and the curate_stage0 oracle query so the two cannot drift."""
+    from ontoemma_spark.operators import dedup as D
+
+    rebuilt = (
+        D.paragraph_dedup(docs)
+        .filter(F.col("text") != "")  # all-boilerplate docs are gone
+        .select("doc_id", "text")
+    )
+    return rebuilt.join(docs.drop("text"), "doc_id")
+
+
+def gate_quality_repetition(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_dup_gram_frac: float = 0.3,
+    w: int = 2,
+) -> DataFrame:
+    """curate_corpus stage 1: the quality + repetition gate. Quality is
+    a narrow in-row expression — filtering in the scan stage, NOT a
+    join against quality_scores' projection (which would shuffle the
+    whole corpus twice for a value computable per row); the repetition
+    side genuinely needs its per-gram aggregation. Gram-less docs pass
+    the repetition gate (left join, null dup_gram_frac)."""
+    from ontoemma_spark.operators.textstats import quality_score_col, repetition_scores
+
+    rep = repetition_scores(docs, w=w).select("doc_id", "dup_gram_frac")
+    return (
+        docs.withColumn("_q", quality_score_col("text"))
+        .join(rep, "doc_id", "left")
+        .filter(
+            (F.col("_q") >= min_quality)
+            & (
+                F.col("dup_gram_frac").isNull()
+                | (F.col("dup_gram_frac") < max_dup_gram_frac)
+            )
+        )
+        .select(*docs.columns)
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -328,35 +375,12 @@ def curate_corpus(
     sessions.
     """
     from ontoemma_spark.operators import dedup as D
-    from ontoemma_spark.operators.textstats import quality_score_col, repetition_scores
 
     if pre_dedup_paragraphs:
-        # rebuilt text replaces the original; every other column
-        # (source for sampling, the caller's pack group, ...) rides
-        # along via the doc_id join
-        rebuilt = (
-            D.paragraph_dedup(docs)
-            .filter(F.col("text") != "")  # all-boilerplate docs are gone
-            .select("doc_id", "text")
-        )
-        docs = rebuilt.join(docs.drop("text"), "doc_id")
-
-    # quality is a narrow in-row expression — filtering in the scan
-    # stage, NOT a join against quality_scores' projection (which would
-    # shuffle the whole corpus twice for a value computable per row).
-    # The repetition side genuinely needs its per-gram aggregation.
-    rep = repetition_scores(docs, w=shingle_w).select("doc_id", "dup_gram_frac")
-    gated = (
-        docs.withColumn("_q", quality_score_col("text"))
-        .join(rep, "doc_id", "left")  # gram-less docs pass the repetition gate
-        .filter(
-            (F.col("_q") >= min_quality)
-            & (
-                F.col("dup_gram_frac").isNull()
-                | (F.col("dup_gram_frac") < max_dup_gram_frac)
-            )
-        )
-        .select(*docs.columns)
+        docs = pre_dedup_paragraph_stage(docs)
+    gated = gate_quality_repetition(
+        docs, min_quality=min_quality,
+        max_dup_gram_frac=max_dup_gram_frac, w=shingle_w,
     )
 
     from pyspark import StorageLevel

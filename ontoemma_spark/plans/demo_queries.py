@@ -1721,6 +1721,94 @@ FROM walk
 """
 
 
+def q_curate_stage0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus's opt-in stage 0 + stage 1, via the SAME shared
+    helpers the composed pass calls (pre_dedup_paragraph_stage,
+    gate_quality_repetition — no drift possible): a boilerplate
+    paragraph appended to every doc is deduped corpus-wide (one keeper),
+    empty rebuilds drop explicitly, and the quality/repetition gate
+    runs over the REBUILT text. Returns the gated survivors with their
+    rewritten text — the doc set the rest of the curation chain would
+    see with pre_dedup_paragraphs=True."""
+    from ontoemma_spark.operators.curation import (
+        gate_quality_repetition,
+        pre_dedup_paragraph_stage,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\nStandard legal boilerplate paragraph appears on every page."),
+        ).alias("text"),
+    )
+    staged = pre_dedup_paragraph_stage(docs)
+    gated = gate_quality_repetition(staged, w=SHINGLE_W)
+    return gated.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+
+
+SQL_CURATE_STAGE0 = f"""
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || 'Standard legal boilerplate paragraph appears on every page.' AS text
+  FROM documents
+), parts AS (
+  -- original-array positions with empties filtered AFTER: relative
+  -- order matches the operator's pre-filtered positions, which is all
+  -- the first-occurrence ordering and the rebuild need
+  SELECT doc_id, i - 1 AS pos, para
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\n+')) AS para,
+           generate_subscripts(string_split_regex(text, '\\n+'), 1) AS i
+    FROM pages
+  )
+  WHERE para IS NOT NULL AND para <> ''
+), flagged AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM parts
+), docs2 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS text
+    FROM flagged GROUP BY doc_id
+  ) WHERE text <> ''
+), toks2 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_toks
+  FROM docs2
+), q AS (
+  SELECT doc_id,
+         (CASE WHEN n_toks >= 20 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN list_sum([len(t) for t in toks]) / n_toks >= 3
+               AND list_sum([len(t) for t in toks]) / n_toks <= 10 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t))) / n_toks <= 0.5
+               THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN len(list_distinct(toks)) / n_toks >= 0.2 THEN 0.25 ELSE 0.0 END) AS qs
+  FROM toks2
+), g2 AS (
+  SELECT doc_id, shingle, count(*) AS c FROM (
+    SELECT doc_id,
+           concat_ws(' ', tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS _last
+    FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM toks2)
+  ) WHERE _last IS NOT NULL GROUP BY doc_id, shingle
+), rep AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dupf
+  FROM g2 GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text
+FROM docs2 d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+WHERE q.qs >= 0.5 AND (rep.dupf IS NULL OR rep.dupf < 0.3)
+"""
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pass composed end-to-end (the data-pipeline
     analog of kg_pipeline's composed oracle): quality+repetition gate →
@@ -3814,6 +3902,7 @@ QUERIES: dict[str, callable] = {
     "host_split": q_host_split,
     "frame_sample": q_frame_sample,
     "incremental_dedup": q_incremental_dedup,
+    "curate_stage0": q_curate_stage0,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3913,6 +4002,7 @@ ORACLES: dict[str, str] = {
     "host_split": SQL_HOST_SPLIT,
     "frame_sample": SQL_FRAME_SAMPLE,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "curate_stage0": SQL_CURATE_STAGE0,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
