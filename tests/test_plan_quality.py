@@ -255,3 +255,19 @@ def test_exact_substring_removal_no_window_no_cartesian(spark):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
     assert "partial" in plan.lower(), plan
+
+
+def test_incremental_dedup_probe_shapes(spark):
+    """Batch-vs-corpus probes must be equi hash joins (no cartesian /
+    nested loop) and the near probe a LeftSemi — the |batch|-sized
+    probe shape the docstring promises."""
+    from ontoemma_spark.operators.dedup import dedup_state, incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prior = docs.filter("doc_id < 250").select("doc_id", "text")
+    batch = docs.filter("doc_id >= 250").select("doc_id", "text")
+    hashes, bands_tbl = dedup_state(prior)
+    plan = _plan(incremental_dedup(batch, hashes, bands_tbl))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
