@@ -272,6 +272,57 @@ def pack_sequences_py(
     return out
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-length token chunking — the other half of context
+    preparation (pack_sequences packs SHORT docs up to max_tokens;
+    this splits LONG docs down to it): doc → chunks of max_tokens
+    whitespace tokens at stride max_tokens - overlap, the last chunk
+    keeping whatever remains (never empty, never duplicated: a doc
+    with n <= max_tokens yields exactly one chunk — itself).
+
+    Output (doc_id, chunk_idx, text, n_tokens); chunk text is the
+    space-joined token slice (split-on-space is lossless, so
+    single-chunk docs reproduce byte-identical and chunk boundaries
+    never corrupt intra-token bytes). Null-text docs are absent.
+
+    Scale: ZERO shuffle — one in-row transform + posexplode; the
+    fan-out (≈ n/stride rows per doc) happens inside the scan stage,
+    so run any per-chunk scoring right here before an exchange."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, … while start < n AND the
+    # chunk adds new tokens beyond the previous one (start + overlap <
+    # n guards a trailing chunk that would be a pure suffix re-emit)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    out = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.col("_chunk"), " ").alias(text_col),
+        F.size(F.col("_chunk")).cast("bigint").alias("n_tokens"),
+    )
+
+
 def pre_dedup_paragraph_stage(docs: DataFrame) -> DataFrame:
     """curate_corpus stage 0 (opt-in): corpus-wide paragraph dedup,
     explicit drop of docs that rebuilt empty (an empty doc would

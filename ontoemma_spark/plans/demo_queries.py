@@ -1721,6 +1721,42 @@ FROM walk
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length token chunking (max 32, overlap 8): long docs split
+    into stride-24 windows, last chunk keeps the remainder, pure-suffix
+    trailing chunks suppressed. ZERO-shuffle in-row fan-out
+    (curation.chunk_documents)."""
+    from ontoemma_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32, overlap=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_idx", "text", "n_tokens",
+    )
+
+
+# stride = 32 - 8 = 24; chunks = max(1, ceil((n - 8) / 24)); DuckDB
+# slices are 1-based end-inclusive and clamp at the list end.
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         t[i * 24 + 1 : i * 24 + 32] AS chunk
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(greatest(1, CAST(ceil((len(t) - 8) / 24.0) AS BIGINT)))) AS i
+    FROM toks
+  )
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx,
+       array_to_string(chunk, ' ') AS text,
+       CAST(len(chunk) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 def q_curate_stage0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curate_corpus's opt-in stage 0 + stage 1, via the SAME shared
     helpers the composed pass calls (pre_dedup_paragraph_stage,
@@ -3903,6 +3939,7 @@ QUERIES: dict[str, callable] = {
     "frame_sample": q_frame_sample,
     "incremental_dedup": q_incremental_dedup,
     "curate_stage0": q_curate_stage0,
+    "chunk_documents": q_chunk_documents,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4003,6 +4040,7 @@ ORACLES: dict[str, str] = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "curate_stage0": SQL_CURATE_STAGE0,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -347,3 +347,42 @@ def test_leakage_safe_split(spark):
     )
     again = {r["host"]: r["split"] for r in leakage_safe_split(more).collect()}
     assert again == splits
+
+
+def test_chunk_documents_hand_case(spark):
+    """Stride/overlap arithmetic: chunk k covers tokens [k*stride,
+    k*stride+max); the last chunk keeps the remainder; a pure-suffix
+    trailing chunk is never emitted; short docs come back as one
+    byte-identical chunk; reassembling stride slices reproduces the
+    doc exactly when overlap=0."""
+    from ontoemma_spark.operators.curation import chunk_documents
+
+    t10 = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, t10), (2, "short doc"), (3, None), (4, "a  b\nc")],
+        "doc_id bigint, text string",
+    )
+
+    got = [(r["doc_id"], r["chunk_idx"], r["text"], r["n_tokens"])
+           for r in chunk_documents(docs, max_tokens=4)
+           .orderBy("doc_id", "chunk_idx").collect()]
+    assert got == [
+        (1, 0, "t0 t1 t2 t3", 4), (1, 1, "t4 t5 t6 t7", 4), (1, 2, "t8 t9", 2),
+        (2, 0, "short doc", 2),
+        # lossless: double space (an empty token) + newline survive
+        (4, 0, "a  b\nc", 3),
+    ]
+    assert " ".join(c[2] for c in got[:3]) == t10  # overlap=0 reassembles
+
+    # overlap=1, n=10, max=4, stride=3: starts 0,3,6 — start 9 would be
+    # a pure suffix of the previous chunk and must not appear
+    ov = [(r["chunk_idx"], r["text"]) for r in
+          chunk_documents(docs.filter("doc_id = 1"), max_tokens=4, overlap=1)
+          .orderBy("chunk_idx").collect()]
+    assert ov == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
