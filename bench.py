@@ -55,10 +55,14 @@ EXTENDED = [
     "url_dedup",
     "paragraph_dedup",
     "web_dedup_pass",
-    # round 4 (late): ExactSubstr span excision, host split, frame sample
+    # round 4 (late): ExactSubstr span excision, host split, frame sample,
+    # batch-vs-corpus probe, curate stage 0, token chunking
     "substring_removal",
     "host_split",
     "frame_sample",
+    "incremental_dedup",
+    "curate_stage0",
+    "chunk_documents",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -3931,8 +3931,12 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r4: new-in-r4 queries, then 10 queries added
-    # late in r3 (never driver-verified), then 7 last driver-green in r2.
+    # Front block as of r4: new-in-r4 queries (late-r4 additions
+    # substring_removal, host_split, frame_sample, incremental_dedup,
+    # curate_stage0, chunk_documents first), then the early-r4 four,
+    # then 10 queries added late in r3 (never driver-verified), then 7
+    # last driver-green in r2. After the r4 driver pass, rotate
+    # whatever got a green row to the back and promote anything new.
     # ------------------------------------------------------------------
     "substring_removal": q_substring_removal,
     "host_split": q_host_split,

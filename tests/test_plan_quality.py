@@ -271,3 +271,20 @@ def test_incremental_dedup_probe_shapes(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_curate_stage0_no_window_map_side(spark):
+    """Stage 0 + gate: paragraph first-occurrence and the repetition
+    aggregation must be combinable aggs (no row_number window anywhere
+    in the chain), and no cartesian appears in the rebuild joins."""
+    from ontoemma_spark.operators.curation import (
+        gate_quality_repetition,
+        pre_dedup_paragraph_stage,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    plan = _plan(gate_quality_repetition(pre_dedup_paragraph_stage(docs)))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
