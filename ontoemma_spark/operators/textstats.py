@@ -149,6 +149,49 @@ def document_fingerprints(
     )
 
 
+def line_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style LINE-level quality signals (Rae et al. 2021 §A1.1
+    — the line-wise complement to repetition_scores' gram filters):
+
+      n_lines            non-empty newline-delimited lines
+      dup_line_frac      fraction of lines that are repeats of an
+                         earlier-seen line content, (n - distinct)/n —
+                         nav menus and chrome repeat lines verbatim
+      ellipsis_line_frac fraction of lines ending in '...' or '…'
+                         (truncated teaser text)
+      bullet_line_frac   fraction of lines starting with a bullet
+                         ('-', '*', '•') — list-dominated pages
+
+    Entirely in-row (split + array folds): ZERO shuffle, the
+    10^12-doc scan-stage shape. Docs with no non-empty lines (empty/
+    null text) report n_lines=0 and 0.0 fractions."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: x != ""
+    )
+    n = F.size(lines)
+    nz = F.greatest(n, F.lit(1)).cast("double")  # guard 0-line docs
+    dup = (n - F.size(F.array_distinct(lines))) / nz
+    ell = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    ) / nz
+    bul = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+        )
+    ) / nz
+    zero_safe = lambda c: F.when(n > 0, c).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(n, F.lit(0)).cast("bigint").alias("n_lines"),
+        zero_safe(dup).alias("dup_line_frac"),
+        zero_safe(ell).alias("ellipsis_line_frac"),
+        zero_safe(bul).alias("bullet_line_frac"),
+    )
+
+
 def repetition_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 2
 ) -> DataFrame:

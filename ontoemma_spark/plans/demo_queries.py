@@ -1721,6 +1721,53 @@ FROM walk
 """
 
 
+def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line-level filters: boilerplate lines (2x 'Home'), a
+    bullet, and an ellipsis teaser appended to every doc so every
+    signal provably fires; fractions computed in-row over non-empty
+    newline lines (textstats.line_stats — zero shuffle)."""
+    from ontoemma_spark.operators.textstats import line_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nHome\nHome\n- item\nMore soon...")
+        ).alias("text"),
+    )
+    out = line_stats(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+    )
+
+
+SQL_LINE_STATS = """
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || 'Home' || chr(10) || 'Home' || chr(10)
+              || '- item' || chr(10) || 'More soon...' AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM pages
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       round((len(lines) - len(list_distinct(lines))) * 1.0
+             / greatest(len(lines), 1), 6) AS dup_line_frac,
+       round(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…')))
+             * 1.0 / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+       round(len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')
+                                          OR starts_with(x, '•')))
+             * 1.0 / greatest(len(lines), 1), 6) AS bullet_line_frac
+FROM l
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length token chunking (max 32, overlap 8): long docs split
     into stride-24 windows, last chunk keeps the remainder, pure-suffix
@@ -3944,6 +3991,7 @@ QUERIES: dict[str, callable] = {
     "incremental_dedup": q_incremental_dedup,
     "curate_stage0": q_curate_stage0,
     "chunk_documents": q_chunk_documents,
+    "line_stats": q_line_stats,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4045,6 +4093,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "curate_stage0": SQL_CURATE_STAGE0,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "line_stats": SQL_LINE_STATS,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

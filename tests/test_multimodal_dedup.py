@@ -780,3 +780,30 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     # hash-only mode: no band probe, near_dup stays false
     only = {r["doc_id"]: r for r in incremental_dedup(batch, hashes).collect()}
     assert only[100]["exact_dup"] and not only[100]["near_dup"]
+
+
+def test_line_stats_hand_computed(spark):
+    from ontoemma_spark.operators.textstats import line_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Home\nAbout\nHome\nProducts\nHome"),     # 5 lines, Home x3
+            (2, "- one\n* two\nplain\n• three"),          # 3/4 bullets
+            (3, "Read more...\nFull text here\nmore…"),   # 2/3 ellipsis
+            (4, "single line no tricks"),
+            (5, ""),
+            (6, None),
+            (7, "a\n\n\na"),                              # empties dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in line_stats(docs).collect()}
+    assert (got[1]["n_lines"], got[1]["dup_line_frac"]) == (5, 2 / 5)
+    assert abs(got[2]["bullet_line_frac"] - 0.75) < 1e-12
+    assert abs(got[3]["ellipsis_line_frac"] - 2 / 3) < 1e-12
+    assert got[4]["n_lines"] == 1 and got[4]["dup_line_frac"] == 0.0
+    for d in (5, 6):
+        r = got[d]
+        assert r["n_lines"] == 0 and r["dup_line_frac"] == 0.0
+        assert r["ellipsis_line_frac"] == 0.0 and r["bullet_line_frac"] == 0.0
+    assert (got[7]["n_lines"], got[7]["dup_line_frac"]) == (2, 0.5)
