@@ -63,6 +63,7 @@ EXTENDED = [
     "incremental_dedup",
     "curate_stage0",
     "chunk_documents",
+    "line_stats",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -180,9 +180,9 @@ def dedup_state(
               band VOCABULARY — far smaller than the per-doc table)
 
     At 10^12 docs both are corpus-scale tables: write each bucketed by
-    its join key (tableio.write_bucketed on content_hash / band_hash)
-    so every future batch probe co-locates and only the batch side
-    shuffles."""
+    its join key (tableio.write_stage with bucket_col="content_hash" /
+    "band_hash") so every future batch probe co-locates and only the
+    batch side shuffles."""
     hashes = docs.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
     sig = minhash_signatures_narrow(
         docs, text_col=text_col, id_col=id_col, w=w, num_hashes=num_hashes
