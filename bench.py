@@ -64,6 +64,7 @@ EXTENDED = [
     "curate_stage0",
     "chunk_documents",
     "line_stats",
+    "pagerank",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -128,3 +128,62 @@ def merge_entities(entities: DataFrame, merge_key: str) -> DataFrame:
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias("aliases"),
         F.array_join(F.array_sort(F.collect_set("definition")), " ").alias("definition"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank over a directed edge list
+    — the iterative-join sibling of connected_components, for ranking
+    head entities in the materialized KG (no reference counterpart;
+    beyond-reference graph analytics).
+
+      r_0(v)    = 1/N
+      r_k+1(v)  = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u) / outdeg(u)
+
+    Dangling nodes (no out-edges) leak their mass — the simple leaky
+    formulation, chosen because it is bit-reproducible in plain SQL
+    (the oracle unrolls the same iterations); pass a symmetrized edge
+    list if every node should keep rank. N is ONE driver-side count
+    (a scalar, not data). Returns (node, rank) after `iterations`
+    rounds.
+
+    Scale shape: per iteration ONE equi join (ranks ⋈ out-weighted
+    edges on src) + ONE groupBy(dst) with a map-side-combinable sum;
+    ranks are localCheckpoint(eager)ed each round — the CC discipline
+    that stops Catalyst re-analyzing an ever-deeper lineage. Edge
+    out-degrees are computed once and persisted with the edges."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    weighted = e.join(outdeg, "src").persist()
+    try:
+        n = nodes.count()
+        base = (1.0 - damping) / n
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+        for _ in range(iterations):
+            contribs = (
+                weighted.join(ranks, weighted["src"] == ranks["node"])
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("m"))
+            )
+            ranks = (
+                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        weighted.unpersist()

@@ -1721,6 +1721,68 @@ FROM walk
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, d=0.85) over the symmetrized
+    customer↔supplier graph derived from orders ⋈ lineitem — the
+    head-entity ranking pass over a materialized KG. Symmetrization
+    removes dangling nodes, so no mass leaks and the fixed-iteration
+    SQL twin is exact (graph.pagerank; per-iteration localCheckpoint =
+    the CC lineage discipline)."""
+    from ontoemma_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = pagerank(edges, iterations=5, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration twin; float literals injected via repr
+    and cast to DOUBLE so both engines run the identical binary
+    arithmetic (round-6 absorbs sum-order reassociation)."""
+    d = repr(damping)
+    base = repr(1.0 - damping)
+    head = """
+WITH base_edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT src, dst FROM base_edges UNION SELECT dst, src FROM base_edges
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    its = "".join(
+        f""",
+r{k + 1} AS (
+  SELECT nodes.node,
+         CAST({base} AS DOUBLE) / (SELECT n FROM nn)
+         + CAST({d} AS DOUBLE) * coalesce(c.m, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.deg) AS m
+    FROM edges e JOIN r{k} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) c USING (node)
+)"""
+        for k in range(iterations)
+    )
+    return head + its + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher line-level filters: boilerplate lines (2x 'Home'), a
     bullet, and an ellipsis teaser appended to every doc so every
@@ -3992,6 +4054,7 @@ QUERIES: dict[str, callable] = {
     "curate_stage0": q_curate_stage0,
     "chunk_documents": q_chunk_documents,
     "line_stats": q_line_stats,
+    "pagerank": q_pagerank,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4094,6 +4157,7 @@ ORACLES: dict[str, str] = {
     "curate_stage0": SQL_CURATE_STAGE0,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "line_stats": SQL_LINE_STATS,
+    "pagerank": SQL_PAGERANK,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

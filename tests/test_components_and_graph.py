@@ -129,3 +129,37 @@ def test_cc_keeps_self_loop_only_nodes(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges, "src", "dst").collect()}
     assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_pagerank_hand_cases(spark):
+    """A 3-cycle holds the uniform stationary distribution through
+    every iteration; a dangling chain matches the python power
+    iteration exactly; ranks are deterministic under repartitioning."""
+    from ontoemma_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(cycle, iterations=4).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in got.values()) and len(got) == 3
+
+    chain = spark.createDataFrame([("a", "b")], "src string, dst string")
+    # python twin of the leaky formulation
+    ranks = {"a": 0.5, "b": 0.5}
+    for _ in range(3):
+        contrib_b = ranks["a"] / 1
+        base = (1.0 - 0.85) / 2
+        ranks = {"a": base, "b": base + 0.85 * contrib_b}
+    got2 = {r["node"]: r["rank"] for r in pagerank(chain, iterations=3).collect()}
+    assert abs(got2["a"] - ranks["a"]) < 1e-12
+    assert abs(got2["b"] - ranks["b"]) < 1e-12
+
+    big = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 50}") for i in range(200)],
+        "src string, dst string",
+    )
+    r1 = sorted((r["node"], round(r["rank"], 10))
+                for r in pagerank(big, iterations=3).collect())
+    r2 = sorted((r["node"], round(r["rank"], 10))
+                for r in pagerank(big.repartition(7), iterations=3).collect())
+    assert r1 == r2
