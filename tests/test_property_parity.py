@@ -338,3 +338,62 @@ def test_substring_pairs_match_python(spark, docs_words, capped):
         for r in substring_dup_pairs(docs, w=w, max_gram_df=cap).collect()
     }
     assert got == expected
+
+
+def _py_exact_substring_removal(docs, w, keep_first=True):
+    """Pure-python spec of dedup.exact_substring_removal."""
+    wins = {}  # gram -> list[(doc_id, start)]
+    toks = {d: t.split(" ") for d, t in docs}
+    for d, t in docs:
+        tk = toks[d]
+        for s in range(len(tk) - w + 1):
+            wins.setdefault(" ".join(tk[s : s + w]), []).append((d, s))
+    marked = {}
+    for occ in wins.values():
+        if len(occ) <= 1:
+            continue
+        first = min(occ)
+        for o in occ:
+            if keep_first and o == first:
+                continue
+            marked.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for d, t in docs:
+        tk = toks[d]
+        covered = set()
+        for s in marked.get(d, ()):
+            covered.update(range(s, s + w))
+        kept = [tok for p, tok in enumerate(tk) if p not in covered]
+        out[d] = (" ".join(kept), len(tk), len(tk) - len(kept))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # tiny vocab forces real cross-doc window collisions
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=14)
+        .map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.booleans(),
+)
+def test_exact_substring_removal_matches_python(spark, texts, w, keep_first):
+    """The distributed window-hash plan must equal the quadratic python
+    spec on adversarial tiny-vocab corpora (heavy window collisions,
+    in-doc repeats, whole-doc dups); token accounting must balance."""
+    from ontoemma_spark.operators.dedup import exact_substring_removal
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in exact_substring_removal(df, w=w, keep_first=keep_first).collect()
+    }
+    assert got == _py_exact_substring_removal(docs, w, keep_first)
+    for text, n_tokens, n_removed in got.values():
+        if text:
+            assert len(text.split(" ")) == n_tokens - n_removed
+        else:
+            assert n_removed in (n_tokens, 0) or n_tokens - n_removed == 1
