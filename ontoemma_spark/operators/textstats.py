@@ -228,6 +228,38 @@ def repetition_scores(
     )
 
 
+def key_skew_stats(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Heavy-hitter diagnostic for shuffle-key skew — the measurement
+    step before choosing salting / AQE skew-join / a broadcast cap for
+    a join or aggregation key (the north rule's "skew handled
+    explicitly" starts with knowing WHICH keys are hot).
+
+    Returns the top_n keys by row count with each key's share of the
+    table: (key, cnt, share), deterministically tie-broken (count
+    desc, key asc). Null keys count as a key (they hash to one
+    partition too — often the worst hitter).
+
+    Shape: one map-side-combinable count agg, the 1-row total broadcast
+    back (no driver collect), and a TakeOrderedAndProject top-n — no
+    global sort, no window."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") / F.col("_total")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
+        .limit(top_n)
+    )
+
+
 def source_rollup(
     docs: DataFrame,
     source_col: str = "source",

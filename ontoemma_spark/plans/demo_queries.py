@@ -1721,6 +1721,43 @@ FROM walk
 """
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew diagnostic: half the table synthesized into 3
+    hot keys, the rest singleton tails — the top-5 report must surface
+    the hot keys with exact shares and a deterministic count-then-key
+    tiebreak (textstats.key_skew_stats: count agg + broadcast total +
+    TakeOrderedAndProject, no global sort)."""
+    from ontoemma_spark.operators.textstats import key_skew_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("tail"), F.col("doc_id").cast("string")))
+        .alias("k")
+    )
+    out = key_skew_stats(keyed, "k", top_n=5)
+    return out.select("key", "cnt", F.round("share", 6).alias("share"))
+
+
+SQL_KEY_SKEW = """
+WITH keyed AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'h' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE 'tail' || CAST(doc_id AS VARCHAR) END AS key
+  FROM documents
+), counts AS (
+  SELECT key, count(*) AS cnt FROM keyed GROUP BY key
+)
+SELECT key, cnt,
+       round(cnt * 1.0 / (SELECT count(*) FROM keyed), 6) AS share
+FROM counts
+ORDER BY cnt DESC, key ASC NULLS LAST
+LIMIT 5
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 power iterations, d=0.85) over the symmetrized
     customer↔supplier graph derived from orders ⋈ lineitem — the
@@ -4055,6 +4092,7 @@ QUERIES: dict[str, callable] = {
     "chunk_documents": q_chunk_documents,
     "line_stats": q_line_stats,
     "pagerank": q_pagerank,
+    "key_skew": q_key_skew,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4158,6 +4196,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "line_stats": SQL_LINE_STATS,
     "pagerank": SQL_PAGERANK,
+    "key_skew": SQL_KEY_SKEW,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -807,3 +807,18 @@ def test_line_stats_hand_computed(spark):
         assert r["n_lines"] == 0 and r["dup_line_frac"] == 0.0
         assert r["ellipsis_line_frac"] == 0.0 and r["bullet_line_frac"] == 0.0
     assert (got[7]["n_lines"], got[7]["dup_line_frac"]) == (2, 0.5)
+
+
+def test_key_skew_stats(spark):
+    """Top-n heavy hitters with shares; deterministic count-then-key
+    tiebreak; null keys are counted as a (hot) key."""
+    from ontoemma_spark.operators.textstats import key_skew_stats
+
+    rows = ([("hot",)] * 50 + [("warm",)] * 20 + [(None,)] * 20
+            + [("a",)] * 5 + [("b",)] * 5)
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["key"], r["cnt"], round(r["share"], 6))
+           for r in key_skew_stats(df, "k", top_n=4).collect()]
+    assert got[0] == ("hot", 50, 0.5)
+    assert {got[1][0], got[2][0]} == {"warm", None} and got[1][1] == 20
+    assert got[3] == ("a", 5, 0.05)  # 'a' < 'b' tiebreak
