@@ -65,6 +65,7 @@ EXTENDED = [
     "chunk_documents",
     "line_stats",
     "pagerank",
+    "key_skew",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -1767,7 +1767,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CC lineage discipline)."""
     from ontoemma_spark.operators.graph import pagerank
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     li = _t(spark, sf_dir, "lineitem")
     base = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
@@ -1778,7 +1778,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    out = pagerank(edges, iterations=5, damping=0.85)
+    # edges is distinct by construction (base is distinct; the 'c'/'s'
+    # prefixes make the two directions disjoint) — skip the re-dedup
+    out = pagerank(edges, iterations=5, damping=0.85, dedupe=False)
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -1793,6 +1795,7 @@ WITH base_edges AS (
   SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                   's' || CAST(l.l_suppkey AS VARCHAR) AS dst
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 3 = 0
 ), edges AS (
   SELECT src, dst FROM base_edges UNION SELECT dst, src FROM base_edges
 ), nodes AS (
