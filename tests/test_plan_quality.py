@@ -288,3 +288,29 @@ def test_curate_stage0_no_window_map_side(spark):
     plan = _plan(gate_quality_repetition(pre_dedup_paragraph_stage(docs)))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_chunk_and_line_stats_are_narrow(spark):
+    """chunk_documents and line_stats advertise ZERO shuffle — the
+    plans must contain no Exchange and no Python eval."""
+    from ontoemma_spark.operators.curation import chunk_documents
+    from ontoemma_spark.operators.textstats import line_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (chunk_documents(docs, max_tokens=32, overlap=8),
+               line_stats(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_key_skew_uses_take_ordered(spark):
+    """The heavy-hitter report must plan TakeOrderedAndProject (local
+    per-partition top-n), never a global sort, and broadcast the 1-row
+    total."""
+    from ontoemma_spark.operators.textstats import key_skew_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(key_skew_stats(docs, "source", top_n=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
