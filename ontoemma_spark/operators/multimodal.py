@@ -294,3 +294,50 @@ def synthetic_media(spark, n: int = 50) -> DataFrame:
             kind, payload = "audio", codecs.encode_wav(x, 16_000)
         rows.append((f"m{i:04d}", kind, payload, "application/octet-stream", None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def video_neardup_pairs(
+    videos: DataFrame, every_k: int = 2, min_shared: int = 1
+) -> DataFrame:
+    """Video-level near-duplicate detection, composed from the family's
+    primitives the way substring_dup_pairs composes from text grams:
+    sample frames (real decode), quantize each frame's aHash grid
+    feature to a 64-bit signature (bit = cell >= frame mean — the
+    classical aHash), and pair videos sharing at least min_shared
+    distinct frame signatures. Re-encoded, resized, or re-containered
+    copies keep their frame aHashes; the equi-join on the frame hash
+    is banded by construction (fan-out per hash = its frequency),
+    never all-pairs. Fallback (undecodable) rows never pair — their
+    sha pseudo-features are excluded with the decoded flag, not left
+    to collide.
+
+    Returns (vid_a, vid_b, n_shared_frames), vid_a < vid_b. The bit
+    quantization is a native column fold over the feature array — no
+    second Python pass after the decode."""
+    frames = sample_frames(videos, every_k=every_k).filter(F.col("decoded"))
+    mean = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(F.col("feature"))
+    bits = F.array_join(
+        F.transform(
+            F.col("feature"),
+            lambda v: F.when(v >= F.col("_mean"), F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    sig = (
+        frames.withColumn("_mean", mean)
+        .select("media_id", F.md5(bits).alias("fh"))
+        .distinct()
+    )
+    a = sig.select(F.col("media_id").alias("vid_a"), "fh")
+    b = sig.select(F.col("media_id").alias("vid_b"), "fh")
+    pairs = (
+        a.join(b, "fh")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+    )
+    if min_shared > 1:
+        pairs = pairs.filter(F.col("n_shared_frames") >= min_shared)
+    return pairs

@@ -822,3 +822,40 @@ def test_key_skew_stats(spark):
     assert got[0] == ("hot", 50, 0.5)
     assert {got[1][0], got[2][0]} == {"warm", None} and got[1][1] == 20
     assert got[3] == ("a", 5, 0.05)  # 'a' < 'b' tiebreak
+
+
+def test_video_neardup_pairs(spark):
+    """Videos sharing exact frames pair (even at different
+    positions in different containers); seeded-noise videos never pair; fallback
+    (MP4-magic) rows are excluded rather than colliding on the sha
+    pseudo-feature."""
+    import numpy as np
+
+    from ontoemma_spark.media import codecs
+    from ontoemma_spark.operators.multimodal import video_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    shared = [rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+              for _ in range(3)]
+    noise = lambda: rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    rows = [
+        ("vA", codecs.encode_ppm_stream([shared[0], noise(), shared[1]])),
+        ("vB", codecs.encode_ppm_stream([noise(), shared[0], shared[1], noise()])),
+        ("vC", codecs.encode_ppm_stream([noise(), noise()])),
+        ("vD", b"\x00\x00\x00\x18ftypmp42" + b"x" * 24),
+        ("vE", b"\x00\x00\x00\x18ftypmp42" + b"x" * 24),  # identical fallback
+    ]
+    vids = spark.createDataFrame(
+        [(m, "video", p, "application/octet-stream", None, None) for m, p in rows],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int",
+    )
+    got = {(r["vid_a"], r["vid_b"]): r["n_shared_frames"]
+           for r in video_neardup_pairs(vids, every_k=1).collect()}
+    # vA frames 0,2 = shared[0], shared[1]; vB frames 1,2 = the same
+    assert got == {("vA", "vB"): 2}
+    # every_k=2: vA samples frames {0,2} = {shared0, shared1}, vB
+    # samples {0,2} = {noise, shared1} → exactly one shared hash
+    got2 = {(r["vid_a"], r["vid_b"]): r["n_shared_frames"]
+            for r in video_neardup_pairs(vids, every_k=2).collect()}
+    assert got2 == {("vA", "vB"): 1}
