@@ -16,7 +16,7 @@ cluster's partitioning).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Conservative patterns chosen to behave identically under Java regex
@@ -108,6 +108,57 @@ def mixture_sample(
         .filter(draw < F.coalesce(F.col("_thresh"), F.lit("zzzzzzzz")))
         .drop("_thresh")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic per-source TOKEN-budget sampling — the "take N
+    tokens from each source" mixture op (vs mixture_sample's keep-
+    probability form, which controls doc counts, not token mass):
+    docs are admitted in salted-hash order until the source's budget
+    is exhausted. Admission rule: a doc is kept iff the tokens
+    admitted BEFORE it are under budget — the boundary-crossing doc is
+    included (soft cap; budgets land within one doc of exact). The
+    hash order makes the selection stable across runs, machines and
+    partitionings, and independent of input order.
+
+    budgets: (source, token_budget). Sources with NO budgets row keep
+    everything (left join — same partial-table semantics as
+    mixture_sample's weights); budget 0 drops the source.
+
+    Scale: budgets is sources-sized → broadcast; the running total is
+    ONE window sum per source (sort by the 8-hex draw inside each
+    source partition — the best_match/top-k shape; a pathological
+    mega-source is the window's skew case, the same one every
+    per-source top-k has). Returns the kept docs + (n_tokens,
+    tokens_before) for audit."""
+    draw = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 16
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("_draw"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = budgets.select(
+        F.col("source").alias(source_col),
+        F.col("token_budget").cast("bigint").alias("_budget"),
+    )
+    out = (
+        docs.withColumn("_draw", draw)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .join(F.broadcast(b), source_col, "left")
+        .filter(F.col("_budget").isNull() | (F.col("tokens_before") < F.col("_budget")))
+    )
+    return out.select(*docs.columns, "n_tokens", "tokens_before")
 
 
 def leakage_safe_split(

@@ -1721,6 +1721,54 @@ FROM walk
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: sources numbered %3==0 get a
+    600-token budget (kept in salted-hash order until the running
+    total crosses it), %3==1 get budget 0 (dropped), %3==2 have NO
+    budget row (kept whole — the partial-table semantics). One window
+    sum per source (curation.token_budget_sample)."""
+    from ontoemma_spark.operators.curation import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    budgets = docs.select("source").distinct().select(
+        "source",
+        F.when(
+            F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3 == 0, 600
+        )
+        .when(F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3 == 1, 0)
+        .alias("token_budget"),
+    )
+    out = token_budget_sample(docs, budgets)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source", "n_tokens", "tokens_before",
+    )
+
+
+SQL_TOKEN_BUDGET = """
+WITH budgets AS (
+  SELECT source,
+         CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
+              WHEN 0 THEN 600 WHEN 1 THEN 0 END AS token_budget
+  FROM (SELECT DISTINCT source FROM documents)
+), t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 16) AS d
+  FROM documents
+), runsum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS tokens_before
+  FROM t
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source, r.n_tokens, r.tokens_before
+FROM runsum r JOIN budgets b USING (source)
+WHERE b.token_budget IS NULL OR r.tokens_before < b.token_budget
+"""
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter skew diagnostic: half the table synthesized into 3
     hot keys, the rest singleton tails — the top-5 report must surface
@@ -4096,6 +4144,7 @@ QUERIES: dict[str, callable] = {
     "line_stats": q_line_stats,
     "pagerank": q_pagerank,
     "key_skew": q_key_skew,
+    "token_budget": q_token_budget,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4200,6 +4249,7 @@ ORACLES: dict[str, str] = {
     "line_stats": SQL_LINE_STATS,
     "pagerank": SQL_PAGERANK,
     "key_skew": SQL_KEY_SKEW,
+    "token_budget": SQL_TOKEN_BUDGET,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

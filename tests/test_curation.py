@@ -386,3 +386,44 @@ def test_chunk_documents_hand_case(spark):
         chunk_documents(docs, max_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=0)
+
+
+def test_token_budget_sample(spark):
+    """Per-source running token totals against the python twin: kept
+    set = docs whose hash-order prefix sum is under budget (the
+    crossing doc included); missing budget rows keep everything;
+    budget 0 drops the source; selection is partitioning-independent."""
+    import hashlib
+
+    from ontoemma_spark.operators.curation import token_budget_sample
+
+    rows = [(i, f"src{i % 3}", " ".join(f"w{i}x{j}" for j in range(5 + i % 7)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    budgets = spark.createDataFrame(
+        [("src0", 40), ("src1", 0)], "source string, token_budget bigint"
+    )
+    got = {r["doc_id"]: r for r in token_budget_sample(docs, budgets).collect()}
+
+    # python twin
+    def draw(i):
+        return hashlib.md5(f"budget:{i}".encode()).hexdigest()[:16]
+
+    expect = {}
+    for src in ("src0", "src1", "src2"):
+        members = sorted((d for d in rows if d[1] == src),
+                         key=lambda d: draw(d[0]))
+        budget = {"src0": 40, "src1": 0}.get(src)
+        acc = 0
+        for d, s, t in members:
+            n = len(t.split(" "))
+            if budget is None or acc < budget:
+                expect[d] = (n, acc)
+            acc += n
+    assert {k: (v["n_tokens"], v["tokens_before"]) for k, v in got.items()} == expect
+    assert not any(r["source"] == "src1" for r in got.values())
+    assert sum(1 for r in got.values() if r["source"] == "src2") == 20  # all kept
+
+    again = {r["doc_id"] for r in
+             token_budget_sample(docs.repartition(7), budgets).collect()}
+    assert again == set(got)
