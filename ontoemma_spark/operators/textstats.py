@@ -329,6 +329,52 @@ def host_of(url_col) -> F.Column:
 _TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
 
 
+# latin-1/latin-ext accented letters and their ASCII folds — the
+# deterministic, engine-portable subset (translate() in both Spark and
+# DuckDB); full Unicode NFD folding would need an ICU dependency.
+_ACCENTS = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+_ACCENT_FOLDS = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def dedup_normalize_col(text_col="text") -> F.Column:
+    """CC-Net-style text normalization BEFORE dedup hashing (Wenzek et
+    al. 2020 §4.1): lowercase, fold common accents, map every digit run
+    to 0 (dates/ids/counters differ between otherwise-identical
+    boilerplate), strip punctuation to spaces, collapse whitespace.
+    Near-identical pages then collapse under EXACT hashing — the cheap
+    trick that catches most near-dups before MinHash ever runs.
+
+    Narrow column expression (translate + regexps): zero shuffle,
+    engine-portable (the DuckDB twin uses the same translate map)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    folded = F.lower(F.translate(c, _ACCENTS, _ACCENT_FOLDS))
+    digits0 = F.regexp_replace(folded, "[0-9]+", "0")
+    unpunct = F.regexp_replace(digits0, r"[^a-z0 ]+", " ")
+    return F.trim(F.regexp_replace(unpunct, " +", " "))
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Keep the NEWEST crawl snapshot per key (re-crawled URLs appear
+    once per fetch in a crawl archive; downstream wants one row). One
+    map-side-combinable max(struct(ts, payload…)) per key — the
+    mirror of paragraph_dedup's min-struct first-occurrence, never a
+    row_number window over a hot URL's snapshot list. Ties on ts
+    resolve by the struct's remaining columns (deterministic).
+
+    Returns one row per key with the winning snapshot's columns."""
+    others = [c for c in pages.columns if c != key_col]
+    packed = pages.groupBy(key_col).agg(
+        F.max(F.struct(ts_col, *[c for c in others if c != ts_col])).alias("_w")
+    )
+    return packed.select(
+        key_col, *[F.col(f"_w.{c}").alias(c) for c in [ts_col] + [c for c in others if c != ts_col]]
+    )
+
+
 def normalize_url(url_col, tracking_param_re: str = _TRACKING_PARAM_RE) -> F.Column:
     """Canonical URL for crawl-level exact dedup (the first dedup pass
     of every Common-Crawl pipeline: the same page is fetched under

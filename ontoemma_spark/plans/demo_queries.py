@@ -1721,6 +1721,98 @@ FROM walk
 """
 
 
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-Net normalization-then-exact-dedup: three raw variants per
+    group (case, accents, digit runs, punctuation, whitespace all
+    differ) MUST collapse to one normalized hash
+    (textstats.dedup_normalize_col + exact_duplicates — narrow
+    normalization, one hash-groupBy)."""
+    from ontoemma_spark.operators.dedup import exact_duplicates
+    from ontoemma_spark.operators.textstats import dedup_normalize_col
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.repeat(F.lit("x"), (F.col("doc_id") % 20 + 1).cast("int"))
+    v = F.col("doc_id") % 3
+    raw = (
+        F.when(v == 0, F.concat(F.lit("Boiler PLATE café "), g, F.lit(" page 123!")))
+        .when(v == 1, F.concat(F.lit("boiler plate cafe "), g, F.lit(" Page 9")))
+        .otherwise(F.concat(F.lit("boiler  plate   CAFÉ "), g, F.lit(" page, 7.")))
+    )
+    pages = docs.select("doc_id", dedup_normalize_col(raw).alias("text"))
+    return exact_duplicates(pages).select(
+        "content_hash",
+        F.col("rep_doc_id").cast("bigint").alias("rep_doc_id"),
+        "dup_count",
+    )
+
+
+# translate map literal mirrors textstats._ACCENTS/_ACCENT_FOLDS
+SQL_NORMALIZED_DEDUP = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'Boiler PLATE café ' || repeat('x', CAST(doc_id % 20 + 1 AS INT)) || ' page 123!'
+           WHEN 1 THEN 'boiler plate cafe ' || repeat('x', CAST(doc_id % 20 + 1 AS INT)) || ' Page 9'
+           ELSE 'boiler  plate   CAFÉ ' || repeat('x', CAST(doc_id % 20 + 1 AS INT)) || ' page, 7.'
+         END AS raw
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           lower(translate(raw,
+             'àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ',
+             'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY')),
+           '[0-9]+', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g')) AS text
+  FROM pages
+)
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+       count(*) AS dup_count
+FROM norm GROUP BY md5(text)
+"""
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the newest crawl snapshot per URL: 50 synthetic URLs, each
+    fetched ~10 times with a non-monotone fetch clock (doc_id*37 mod
+    101 seconds), ts ties broken by the struct's remaining columns —
+    one map-side-combinable max(struct) per key, never a window
+    (textstats.latest_snapshot)."""
+    from ontoemma_spark.operators.textstats import latest_snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 50).cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1767225600) + (F.col("doc_id") * 37 % 101)
+        ).alias("warc_ts"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+    out = latest_snapshot(pages)
+    return out.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("bigint").alias("fetch_epoch"),
+        "doc_id",
+    )
+
+
+SQL_LATEST_SNAPSHOT = """
+WITH pages AS (
+  SELECT 'u' || CAST(doc_id % 50 AS VARCHAR) AS url,
+         1767225600 + (doc_id * 37 % 101) AS fetch_epoch,
+         CAST(doc_id AS BIGINT) AS doc_id
+  FROM documents
+)
+SELECT url, CAST(fetch_epoch AS BIGINT) AS fetch_epoch, doc_id
+FROM (
+  SELECT url, fetch_epoch, doc_id,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY fetch_epoch DESC, doc_id DESC) AS rn
+  FROM pages
+) WHERE rn = 1
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: sources numbered %3==0 get a
     600-token budget (kept in salted-hash order until the running
@@ -4145,6 +4237,8 @@ QUERIES: dict[str, callable] = {
     "pagerank": q_pagerank,
     "key_skew": q_key_skew,
     "token_budget": q_token_budget,
+    "normalized_dedup": q_normalized_dedup,
+    "latest_snapshot": q_latest_snapshot,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4250,6 +4344,8 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "key_skew": SQL_KEY_SKEW,
     "token_budget": SQL_TOKEN_BUDGET,
+    "normalized_dedup": SQL_NORMALIZED_DEDUP,
+    "latest_snapshot": SQL_LATEST_SNAPSHOT,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -859,3 +859,43 @@ def test_video_neardup_pairs(spark):
     got2 = {(r["vid_a"], r["vid_b"]): r["n_shared_frames"]
             for r in video_neardup_pairs(vids, every_k=2).collect()}
     assert got2 == {("vA", "vB"): 1}
+
+
+def test_dedup_normalize_and_latest_snapshot(spark):
+    from datetime import datetime, timezone
+
+    from ontoemma_spark.operators.textstats import (
+        dedup_normalize_col,
+        latest_snapshot,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Café Nº 24!"),
+            (2, "cafe n 0"),                      # normalizes equal to 1
+            (3, "Boiler   PLATE, édition 2024."),
+            (4, "boiler plate edition 0"),        # equal to 3
+            (5, "different words entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    norm = {r["doc_id"]: r["n"] for r in
+            docs.select("doc_id", dedup_normalize_col("text").alias("n")).collect()}
+    assert norm[1] == "cafe n 0" == norm[2]
+    assert norm[3] == "boiler plate edition 0" == norm[4]
+    assert norm[5] == "different words entirely"
+
+    ts = lambda s: datetime(2026, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [
+            ("u1", ts(5), "old"),
+            ("u1", ts(9), "new"),
+            ("u2", ts(3), "only"),
+            ("u3", ts(4), "a"),   # tie on ts → later struct cols break it
+            ("u3", ts(4), "b"),
+        ],
+        "url string, warc_ts timestamp, body string",
+    )
+    got = {r["url"]: (r["warc_ts"].second, r["body"])
+           for r in latest_snapshot(pages).collect()}
+    assert got == {"u1": (9, "new"), "u2": (3, "only"), "u3": (4, "b")}
