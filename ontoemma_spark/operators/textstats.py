@@ -329,6 +329,77 @@ def host_of(url_col) -> F.Column:
 _TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
 
 
+def unigram_vocab(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, cnt): whitespace-token counts over the corpus — the
+    unigram model table for unigram_logprob_scores. One explode + one
+    map-side-combinable count agg. Write it bucketed by token
+    (tableio.write_stage) so repeated scoring runs co-locate."""
+    return (
+        docs.select(F.explode(whitespace_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CC-Net's LM-perplexity quality filter (Wenzek et al. 2020 §4.3)
+    with the KenLM 5-gram model replaced by a unigram model — the
+    documented seam: the relational shape (token table join + per-doc
+    mean) is identical, and a trained LM table drops in as `vocab`
+    with log-probs instead of counts. Gibberish and non-language pages
+    score far below prose; thresholding on mean_logprob is the gate.
+
+      token logprob = ln(cnt_t / total)
+      OOV           = ln(1 / (total + |V|))   (add-one-style floor)
+      doc score     = mean over the doc's tokens
+
+    vocab=None fits the unigram table from `docs` itself (the CC-Net
+    move: score each shard against the corpus model).
+
+    Scale shape: explode is narrow; the token join shuffles on the
+    token (hyper-common tokens are the skew path — AQE skew-join
+    handles them; a stopword-capped vocab would broadcast); the
+    re-aggregation per doc is map-side combinable. Docs with no
+    tokens (null text) are absent, like the other text-keyed ops.
+
+    Returns (doc_id, n_tokens, n_oov, mean_logprob)."""
+    if vocab is None:
+        vocab = unigram_vocab(docs, text_col=text_col)
+    totals = vocab.agg(
+        F.sum("cnt").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(whitespace_tokens(text_col)).alias("token"),
+    )
+    scored = (
+        toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.col("cnt").isNull().cast("bigint").alias("oov"),
+            F.when(
+                F.col("cnt").isNotNull(), F.log(F.col("cnt") / F.col("_total"))
+            )
+            .otherwise(F.log(F.lit(1.0) / (F.col("_total") + F.col("_v"))))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.avg("lp").alias("mean_logprob"),
+    )
+
+
 # latin-1/latin-ext accented letters and their ASCII folds — the
 # deterministic, engine-portable subset (translate() in both Spark and
 # DuckDB); full Unicode NFD folding would need an ICU dependency.

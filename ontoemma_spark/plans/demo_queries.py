@@ -1721,6 +1721,40 @@ FROM walk
 """
 
 
+def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-Net LM-filter proxy: every doc scored against the corpus'
+    own unigram model (mean token log-probability + OOV count —
+    textstats.unigram_logprob_scores; the KenLM table is the
+    documented drop-in seam)."""
+    from ontoemma_spark.operators.textstats import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens", "n_oov",
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+    )
+
+
+SQL_LM_FILTER = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+), totals AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       count(*) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_oov,
+       round(avg(ln(vc.cnt / (SELECT total FROM totals))), 6) AS mean_logprob
+FROM toks t JOIN vocab vc USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC-Net normalization-then-exact-dedup: three raw variants per
     group (case, accents, digit runs, punctuation, whitespace all
@@ -4239,6 +4273,7 @@ QUERIES: dict[str, callable] = {
     "token_budget": q_token_budget,
     "normalized_dedup": q_normalized_dedup,
     "latest_snapshot": q_latest_snapshot,
+    "lm_filter": q_lm_filter,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4346,6 +4381,7 @@ ORACLES: dict[str, str] = {
     "token_budget": SQL_TOKEN_BUDGET,
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "latest_snapshot": SQL_LATEST_SNAPSHOT,
+    "lm_filter": SQL_LM_FILTER,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

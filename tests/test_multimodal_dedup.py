@@ -899,3 +899,37 @@ def test_dedup_normalize_and_latest_snapshot(spark):
     got = {r["url"]: (r["warc_ts"].second, r["body"])
            for r in latest_snapshot(pages).collect()}
     assert got == {"u1": (9, "new"), "u2": (3, "only"), "u3": (4, "b")}
+
+
+def test_unigram_logprob_scores(spark):
+    """Exact python twin of the unigram model: self-fit corpus has no
+    OOV and hand-computable means; scoring NEW docs against a given
+    vocab exercises the OOV floor; prose outscores gibberish."""
+    import math
+
+    from ontoemma_spark.operators.textstats import (
+        unigram_logprob_scores,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the dog"), (3, "zq")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    # corpus counts: the=3 cat=1 sat=1 dog=1 zq=1, total=7
+    ln = lambda c: math.log(c / 7)
+    assert got[1]["n_oov"] == 0
+    assert abs(got[1]["mean_logprob"] - (ln(3) + ln(1) + ln(1)) / 3) < 1e-12
+    assert abs(got[2]["mean_logprob"] - (2 * ln(3) + ln(1)) / 3) < 1e-12
+    # the common-word doc scores above the rare-word doc
+    assert got[2]["mean_logprob"] > got[3]["mean_logprob"]
+
+    vocab = unigram_vocab(docs)
+    new = spark.createDataFrame(
+        [(9, "the cat UNKNOWNTOKEN")], "doc_id bigint, text string"
+    )
+    r = unigram_logprob_scores(new, vocab=vocab).collect()[0]
+    assert r["n_oov"] == 1
+    oov = math.log(1 / (7 + 5))  # total=7, |V|=5
+    assert abs(r["mean_logprob"] - (ln(3) + ln(1) + oov) / 3) < 1e-12
