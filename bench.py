@@ -66,6 +66,10 @@ EXTENDED = [
     "line_stats",
     "pagerank",
     "key_skew",
+    "token_budget",
+    "normalized_dedup",
+    "latest_snapshot",
+    "lm_filter",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

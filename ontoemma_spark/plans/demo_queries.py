@@ -4254,11 +4254,11 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r4: new-in-r4 queries (late-r4 additions
-    # substring_removal, host_split, frame_sample, incremental_dedup,
-    # curate_stage0, chunk_documents first), then the early-r4 four,
-    # then 10 queries added late in r3 (never driver-verified), then 7
-    # last driver-green in r2. After the r4 driver pass, rotate
+    # Front block as of r4: the 16 never-driver-verified late-r4
+    # queries first (substring_removal … lm_filter), then the early-r4
+    # four, then 10 queries added late in r3 (never driver-verified),
+    # then 7 last driver-green in r2 — 37 front entries inside the
+    # driver's 50-query window. After the r4 driver pass, rotate
     # whatever got a green row to the back and promote anything new.
     # ------------------------------------------------------------------
     "substring_removal": q_substring_removal,
