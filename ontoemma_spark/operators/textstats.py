@@ -329,6 +329,54 @@ def host_of(url_col) -> F.Column:
 _TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
 
 
+def host_suffixes(url_col) -> F.Column:
+    """Array of the URL host's domain suffixes, shortest-last:
+    'a.b.example.com' → ['a.b.example.com', 'b.example.com',
+    'example.com', 'com']. Narrow column expression — turns suffix
+    blocklist matching into an EQUI join on the exploded suffix
+    instead of a per-pattern endswith scan (which Spark can only plan
+    as a nested-loop against a pattern list)."""
+    host = host_of(url_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        host.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def url_blocklist_filter(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain-blocklist filtering (the UT1/adult-list pass every crawl
+    pipeline runs first): a page is dropped when ANY suffix of its
+    host equals a blocklist entry — 'ads.example.com' is blocked by
+    the entries 'ads.example.com', 'example.com', or 'com' (don't put
+    bare TLDs in the list). Null/unparseable URLs pass (no host to
+    match — gate them separately).
+
+    Plan shape: in-row suffix expansion (host depth ≈ 3-5 entries per
+    page) + ONE left-anti equi join against the blocklist — never an
+    endswith nested-loop over the pattern list. Blocklists are
+    100k-5M rows: under the broadcast threshold they broadcast; bigger
+    lists shuffle on the suffix hash like any equi join.
+
+    Returns the surviving pages, columns unchanged."""
+    probe = pages.withColumn("_sfx", F.explode_outer(host_suffixes(url_col)))
+    bl = blocklist.select(F.lower(F.col("domain")).alias("_sfx")).distinct()
+    hit = (
+        probe.join(bl, "_sfx", "left_semi")
+        .select(url_col)
+        .distinct()
+    )
+    return pages.join(hit, url_col, "left_anti")
+
+
 def unigram_vocab(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

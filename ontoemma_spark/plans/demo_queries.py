@@ -1721,6 +1721,50 @@ FROM walk
 """
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist pass: hosts h<g>.site<g%7>.org; the list blocks
+    the whole site3.org parent plus one exact host — suffix semantics
+    via in-row suffix expansion + ONE anti equi join
+    (textstats.url_blocklist_filter; the oracle twin uses the
+    equivalent exact-OR-parent predicate)."""
+    from ontoemma_spark.operators.textstats import url_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 100
+    pages = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), g.cast("string"),
+            F.lit(".site"), (g % 7).cast("string"), F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("site3.org",), ("h4.site4.org",)], "domain string"
+    )
+    return url_blocklist_filter(pages, bl)
+
+
+SQL_URL_BLOCKLIST = """
+WITH pages AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'https://h' || CAST(doc_id % 100 AS VARCHAR)
+         || '.site' || CAST(doc_id % 100 % 7 AS VARCHAR) || '.org/p/'
+         || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), hosted AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host
+  FROM pages
+), bl AS (SELECT unnest(['site3.org', 'h4.site4.org']) AS domain)
+SELECT doc_id, url FROM hosted h
+WHERE NOT EXISTS (
+  SELECT 1 FROM bl
+  WHERE h.host = bl.domain OR h.host LIKE '%.' || bl.domain
+)
+"""
+
+
 def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC-Net LM-filter proxy: every doc scored against the corpus'
     own unigram model (mean token log-probability + OOV count —
@@ -4274,6 +4318,7 @@ QUERIES: dict[str, callable] = {
     "normalized_dedup": q_normalized_dedup,
     "latest_snapshot": q_latest_snapshot,
     "lm_filter": q_lm_filter,
+    "url_blocklist": q_url_blocklist,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4382,6 +4427,7 @@ ORACLES: dict[str, str] = {
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "latest_snapshot": SQL_LATEST_SNAPSHOT,
     "lm_filter": SQL_LM_FILTER,
+    "url_blocklist": SQL_URL_BLOCKLIST,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

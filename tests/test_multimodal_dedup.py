@@ -933,3 +933,29 @@ def test_unigram_logprob_scores(spark):
     assert r["n_oov"] == 1
     oov = math.log(1 / (7 + 5))  # total=7, |V|=5
     assert abs(r["mean_logprob"] - (ln(3) + ln(1) + oov) / 3) < 1e-12
+
+
+def test_url_blocklist_filter(spark):
+    """Suffix semantics: exact host, parent-domain, and multi-level
+    parent entries all block; unrelated hosts and lookalike
+    ('notexample.com' vs 'example.com') survive; null URLs pass."""
+    from ontoemma_spark.operators.textstats import host_suffixes, url_blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            ("https://ads.Example.com/x", 1),
+            ("https://example.com/y", 2),
+            ("https://sub.notexample.com/z", 3),
+            ("https://keep.org/a", 4),
+            ("https://bad.co.uk/b", 5),
+            (None, 6),
+        ],
+        "url string, doc_id bigint",
+    )
+    bl = spark.createDataFrame([("EXAMPLE.com",), ("bad.co.uk",)], "domain string")
+    kept = {r["doc_id"] for r in url_blocklist_filter(pages, bl).collect()}
+    assert kept == {3, 4, 6}
+
+    sfx = pages.filter("doc_id = 1").select(
+        host_suffixes("url").alias("s")).collect()[0]["s"]
+    assert sfx == ["ads.example.com", "example.com", "com"]
