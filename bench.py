@@ -70,6 +70,7 @@ EXTENDED = [
     "normalized_dedup",
     "latest_snapshot",
     "lm_filter",
+    "url_blocklist",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset
