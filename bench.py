@@ -71,6 +71,7 @@ EXTENDED = [
     "latest_snapshot",
     "lm_filter",
     "url_blocklist",
+    "winnowing",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -112,6 +112,64 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003, the MOSS fingerprint): slide a
+    window of w consecutive k-gram hashes and record each window's
+    MINIMUM hash, rightmost-position tie-break — the local selection
+    whose guarantee the min-k sketch (document_fingerprints) lacks:
+    any two docs sharing a run of >= w+k-1 identical tokens share at
+    least one selected fingerprint, at a density of ~2/(w+1) per gram.
+    The shared-fingerprint equi-join is then the passage-level dedup
+    probe that cannot miss long copies.
+
+    Entirely in-row (shingles → md5s → nested window transform →
+    distinct selections): ZERO shuffle; md5 hex compares
+    lexicographically, valid as the hash order and engine-portable.
+
+    Returns (doc_id, pos, fp) exploded and per-doc distinct: pos is
+    the 0-based token index of the selected gram. Docs with fewer than
+    w + k - 1 tokens (no full window) emit nothing."""
+    from ontoemma_spark.operators.dedup import shingle_array
+
+    hashes = F.transform(shingle_array(text_col, k), lambda s: F.md5(s))
+    m = F.size(F.col("_h"))
+    # window i (1-based): hashes[i .. i+w-1]; rightmost minimum via
+    # position of the first occurrence in the REVERSED window
+    selections = F.transform(
+        F.sequence(F.lit(1), m - F.lit(w - 1)),
+        lambda i: F.struct(
+            (
+                i
+                + F.lit(w)
+                - F.array_position(
+                    F.reverse(F.slice(F.col("_h"), i, w)),
+                    F.array_min(F.slice(F.col("_h"), i, w)),
+                )
+                - F.lit(1)
+            ).cast("int").alias("pos"),
+            F.array_min(F.slice(F.col("_h"), i, w)).alias("fp"),
+        ),
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), hashes.alias("_h"))
+        .filter(m >= w)
+        .select(
+            "doc_id",
+            # adjacent windows re-select the same (pos, fp) — the in-row
+            # array_distinct is the whole dedup; no shuffle needed
+            F.explode(F.array_distinct(selections)).alias("_s"),
+        )
+        .select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+    )
+
+
 def document_fingerprints_narrow(
     docs: DataFrame,
     text_col: str = "text",

@@ -1721,6 +1721,43 @@ FROM walk
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): windowed-min
+    k-gram hash selection with rightmost tie-break, the MOSS
+    fingerprint whose guarantee min-k sketches lack (any >= w+k-1
+    token overlap shares a selection). Zero-shuffle in-row
+    (textstats.winnowing_fingerprints, k=3 grams, w=4 windows)."""
+    from ontoemma_spark.operators.textstats import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=3, w=4).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "pos", "fp",
+    )
+
+
+SQL_WINNOWING = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), hs AS (
+  SELECT doc_id, i, md5(array_to_string(t[i + 1 : i + 3], ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+), harr AS (
+  SELECT doc_id, list(h ORDER BY i) AS hl FROM hs GROUP BY doc_id
+), wins AS (
+  SELECT doc_id, hl, j
+  FROM (SELECT doc_id, hl, unnest(range(len(hl) - 3)) AS j
+        FROM harr WHERE len(hl) >= 4)
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(j + 4 - list_position(list_reverse(hl[j + 1 : j + 4]),
+                                  list_min(hl[j + 1 : j + 4])) AS INT) AS pos,
+       list_min(hl[j + 1 : j + 4]) AS fp
+FROM wins
+"""
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist pass: hosts h<g>.site<g%7>.org; the list blocks
     the whole site3.org parent plus one exact host — suffix semantics
@@ -4319,6 +4356,7 @@ QUERIES: dict[str, callable] = {
     "latest_snapshot": q_latest_snapshot,
     "lm_filter": q_lm_filter,
     "url_blocklist": q_url_blocklist,
+    "winnowing": q_winnowing,
     "substring_dup_pairs": q_substring_dup_pairs,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4428,6 +4466,7 @@ ORACLES: dict[str, str] = {
     "latest_snapshot": SQL_LATEST_SNAPSHOT,
     "lm_filter": SQL_LM_FILTER,
     "url_blocklist": SQL_URL_BLOCKLIST,
+    "winnowing": SQL_WINNOWING,
     "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
     "url_dedup": SQL_URL_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -959,3 +959,49 @@ def test_url_blocklist_filter(spark):
     sfx = pages.filter("doc_id = 1").select(
         host_suffixes("url").alias("s")).collect()[0]["s"]
     assert sfx == ["ads.example.com", "example.com", "com"]
+
+
+def test_winnowing_fingerprints(spark):
+    """Exact python twin (windowed min, rightmost tie-break) and the
+    winnowing GUARANTEE: docs sharing a >= w+k-1 token run share a
+    fingerprint; short docs emit nothing; zero-shuffle plan."""
+    import hashlib
+
+    from ontoemma_spark.operators.textstats import winnowing_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} nine ten eleven"),
+            (2, f"{shared} completely different tail words here"),
+            (3, "tiny doc"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {}
+    for r in winnowing_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+
+    def twin(text):
+        toks = text.split(" ")
+        hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+              for i in range(len(toks) - k + 1)]
+        out = set()
+        for i in range(len(hs) - w + 1):
+            win = hs[i:i + w]
+            mn = min(win)
+            pos = max(j for j in range(w) if win[j] == mn)  # rightmost
+            out.add((i + pos, mn))
+        return out
+
+    assert got[1] == twin(docs.collect()[0]["text"])
+    assert got[2] == twin(docs.collect()[1]["text"])
+    assert 3 not in got and 4 not in got
+    # guarantee: the shared 6-token run yields a common fp hash
+    assert {f for _, f in got[1]} & {f for _, f in got[2]}
+
+    plan = winnowing_fingerprints(docs, k=k, w=w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
