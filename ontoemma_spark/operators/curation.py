@@ -432,6 +432,7 @@ def curate_corpus(
     shingle_w: int = 2,
     num_hashes: int = 4,
     bands: int = 2,
+    max_band_df: int | None = None,
     decontam_w: int = 5,
     pack_group_col: str | None = None,
     n_pack_groups: int | None = None,
@@ -509,7 +510,9 @@ def curate_corpus(
         sh, sig = D.cached_shingle_signatures(
             clean, w=shingle_w, num_hashes=num_hashes
         )
-        cand = D.lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+        cand = D.lsh_candidate_pairs(
+            sig, num_hashes=num_hashes, bands=bands, max_band_df=max_band_df
+        )
         # exact-jaccard rescore of LSH survivors only (shared helper —
         # same rescore the LSH dedup query uses)
         pairs = D.rescore_jaccard_pairs(cand, sh, min_jaccard)

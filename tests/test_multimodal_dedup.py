@@ -171,6 +171,43 @@ def test_minhash_lsh_finds_exact_dups(spark):
     assert (1, 4) not in pairs or True  # unrelated docs may rarely collide in 1-row bands
 
 
+def test_lsh_hot_band_cap(spark):
+    """max_band_df drops degenerate (boilerplate) bands: 10 identical
+    boilerplate docs form one hot band per band index (df=10) and emit
+    45 quadratic pairs uncapped; with max_band_df=5 the hot band is
+    anti-joined away while the legitimate near-dup pair (band df=2)
+    survives. Same guard threaded through dedup_state/incremental_dedup."""
+    from ontoemma_spark.operators.dedup import dedup_state, incremental_dedup
+
+    boiler = [(i, "all rights reserved copyright terms of service apply")
+              for i in range(10)]
+    real = [(100, "quick brown fox jumps over the lazy dog"),
+            (101, "quick brown fox jumps over the lazy dog")]
+    docs = spark.createDataFrame(boiler + real, ["doc_id", "text"])
+    sig = minhash_signatures(word_shingles(docs, w=2), num_hashes=4)
+
+    uncapped = {(r["doc_a"], r["doc_b"])
+                for r in lsh_candidate_pairs(sig, 4, bands=2).collect()}
+    assert (100, 101) in uncapped
+    assert sum(1 for a, b in uncapped if a < 10 and b < 10) == 45
+
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in lsh_candidate_pairs(sig, 4, bands=2, max_band_df=5).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 10 for a, b in capped)
+
+    # state side: the hot band is excluded from the vocabulary, so a
+    # batch doc carrying only boilerplate is NOT flagged near-dup
+    hashes, bands_tbl = dedup_state(docs, max_band_df=5)
+    batch = spark.createDataFrame(
+        [(200, "all rights reserved copyright terms of service apply"),
+         (201, "quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    flags = {r["doc_id"]: r["near_dup"]
+             for r in incremental_dedup(batch, hashes, bands_tbl).collect()}
+    assert flags[200] is False and flags[201] is True
+
+
 def test_simhash_identical_docs_same_bits(spark):
     sh = word_shingles(_docs(spark), w=2)
     bits = {r["doc_id"]: r["simhash"] for r in simhash_bits(sh).collect()}

@@ -212,6 +212,23 @@ def test_substring_dup_pairs_banded_not_allpairs(spark):
     assert "LeftAnti, BuildRight" in guarded or "BroadcastHashJoin" in guarded, guarded
 
 
+def test_lsh_hot_band_cap_plans_broadcast_anti(spark):
+    """The LSH hot-band guard (drop_hot_bands) must plan a broadcast
+    ANTI-join in front of the band self-join — the same shape as
+    substring_dup_pairs' max_gram_df guard — and never a cartesian."""
+    from ontoemma_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures_narrow,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures_narrow(docs)
+    guarded = _plan(lsh_candidate_pairs(sig, max_band_df=100))
+    assert "CartesianProduct" not in guarded and "BroadcastNestedLoopJoin" not in guarded, guarded
+    assert "LeftAnti, BuildRight" in guarded or (
+        "LeftAnti" in guarded and "BroadcastExchange" in guarded
+    ), guarded
+
+
 def test_extract_triples_single_scan(spark):
     """The multi-pattern extractor must read the source ONCE: a
     per-pattern union re-scans the corpus once per pattern (6x read
