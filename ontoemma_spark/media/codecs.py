@@ -304,6 +304,28 @@ def nearest_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return arr[rows][:, cols].copy()
 
 
+def to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to the (h, w, 3) uint8 RGB shape
+    encode_bmp requires. decode_png legitimately returns 1-channel
+    (gray) and 4-channel (RGBA) arrays; encoding those directly
+    produces structurally broken BMPs (zero-padded gray rows, 4w-byte
+    rows against a declared 3w stride). Gray replicates the luma
+    plane; RGBA drops the alpha channel (straight drop, no
+    compositing — deterministic, and what a 24-bit consumer sees)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError(f"expected 2-D or 3-D image, got shape {arr.shape}")
+    c = arr.shape[2]
+    if c == 1:
+        return np.repeat(arr, 3, axis=2)
+    if c == 3:
+        return arr
+    if c == 4:
+        return np.ascontiguousarray(arr[:, :, :3])
+    raise ValueError(f"unsupported channel count {c}")
+
+
 def sniff(payload: bytes) -> str:
     if payload[:2] == b"BM":
         return "bmp"

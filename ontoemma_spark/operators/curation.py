@@ -126,7 +126,12 @@ def token_budget_sample(
     admitted BEFORE it are under budget — the boundary-crossing doc is
     included (soft cap; budgets land within one doc of exact). The
     hash order makes the selection stable across runs, machines and
-    partitionings, and independent of input order.
+    partitionings, and independent of input order. A null-text doc
+    counts ZERO tokens (coalesced) and is admitted under the same rule
+    as everything else — without the coalesce a null n_tokens made
+    `tokens_before < budget` evaluate to null and silently dropped the
+    doc, but only for budgeted sources (r4 ADVICE); admission policy
+    stays the caller's, consistently.
 
     budgets: (source, token_budget). Sources with NO budgets row keep
     everything (left join — same partial-table semantics as
@@ -141,7 +146,9 @@ def token_budget_sample(
     draw = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 16
     )
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    n_tok = F.coalesce(
+        F.size(F.split(F.col(text_col), " ")).cast("bigint"), F.lit(0)
+    )
     w = (
         Window.partitionBy(source_col)
         .orderBy(F.col("_draw"))

@@ -154,8 +154,11 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
                     try:
                         arr = codecs.decode_image(payload)
                         h, w = arr.shape[0], arr.shape[1]
+                        # to_rgb AFTER the resize (smaller array): gray
+                        # and RGBA PNGs decode to 1/4 channels, which
+                        # encode_bmp would silently mangle
                         out_payload = codecs.encode_bmp(
-                            codecs.nearest_resize(arr, out_h, out_w)
+                            codecs.to_rgb(codecs.nearest_resize(arr, out_h, out_w))
                         )
                         decoded = True
                     except Exception:

@@ -560,6 +560,11 @@ def normalize_url(url_col, tracking_param_re: str = _TRACKING_PARAM_RE) -> F.Col
 
       * scheme dropped (http vs https never distinguishes a page),
       * host lowercased, leading "www." stripped,
+      * explicit NON-default port kept (host:8080 and host are
+        DIFFERENT resources; Spark's parse_url HOST silently excludes
+        the port, so it is re-extracted from the authority). Default
+        ports (:80 on http, :443 on https) are stripped — with the
+        scheme dropped they denote the same resource as no port,
       * path kept case-SENSITIVE (paths are), trailing slashes
         stripped,
       * fragment dropped (parse_url QUERY never includes it),
@@ -575,6 +580,17 @@ def normalize_url(url_col, tracking_param_re: str = _TRACKING_PARAM_RE) -> F.Col
         F.lower(F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit(""))),
         r"^www\.", "",
     )
+    scheme = F.lower(F.coalesce(F.parse_url(c, F.lit("PROTOCOL")), F.lit("")))
+    port = F.regexp_extract(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1),
+        r":(\d+)$", 1,
+    )
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    host = F.when(
+        (port != "") & ~default_port, F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
     path = F.regexp_replace(
         F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")), r"/+$", ""
     )

@@ -427,3 +427,26 @@ def test_token_budget_sample(spark):
     again = {r["doc_id"] for r in
              token_budget_sample(docs.repartition(7), budgets).collect()}
     assert again == set(got)
+
+
+def test_token_budget_sample_null_text_costs_zero(spark):
+    """A null-text doc counts 0 tokens and is admitted under the normal
+    rule in BOTH the budgeted and unbudgeted branches — r4 ADVICE: the
+    un-coalesced n_tokens made `tokens_before < budget` null and
+    silently dropped null-text docs from budgeted sources only."""
+    from ontoemma_spark.operators.curation import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(1, "cap", None), (2, "cap", "a b c"), (3, "free", None)],
+        "doc_id bigint, source string, text string",
+    )
+    budgets = spark.createDataFrame(
+        [("cap", 100)], "source string, token_budget bigint"
+    )
+    got = {r["doc_id"]: r for r in token_budget_sample(docs, budgets).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_tokens"] == 0 and got[3]["n_tokens"] == 0
+    # a zero-budget source still drops its null-text docs (0 < 0 false)
+    zero = spark.createDataFrame([("cap", 0)], "source string, token_budget bigint")
+    kept = {r["doc_id"] for r in token_budget_sample(docs, zero).collect()}
+    assert kept == {3}

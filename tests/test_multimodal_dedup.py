@@ -575,6 +575,24 @@ def test_normalize_url_canonicalization(spark):
     ).select(normalize_url("url").alias("n")).collect()[0]["n"]
     assert one == "example.com/p?a=1"
 
+    # ports: non-default ports are resource-identifying and KEPT
+    # (parse_url HOST silently drops them — r4 ADVICE); default ports
+    # (:80 http, :443 https) strip to the portless form
+    ports = [
+        "http://host.com:8080/x",    # kept — distinct from host.com/x
+        "http://host.com/x",
+        "http://host.com:80/x",      # default http port → stripped
+        "https://host.com:443/x",    # default https port → stripped
+        "https://host.com:8443/x",   # kept
+    ]
+    pn = [r["n"] for r in spark.createDataFrame(
+        [(u,) for u in ports], "url string"
+    ).select(normalize_url("url").alias("n")).collect()]
+    assert pn[0] == "host.com:8080/x"
+    assert pn[1] == pn[2] == pn[3] == "host.com/x"
+    assert pn[4] == "host.com:8443/x"
+    assert len(set(pn)) == 3
+
 
 def test_paragraph_dedup_hand_case(spark):
     """Corpus-wide repeated paragraphs drop (first kept by doc/pos
@@ -708,6 +726,42 @@ def test_resize_images_real_resample(spark):
             assert r["format"] in ("jpeg", "wav")   # non-image payloads
     # variants 1 (BMP) and 2 (PNG) of every 4 decode as images
     assert sum(1 for r in got.values() if r["decoded"]) == 8
+
+
+def test_resize_images_gray_and_rgba_png(spark):
+    """Gray (1-channel) and RGBA (4-channel) PNGs — shapes decode_png
+    legitimately returns — must resize to VALID 3-channel BMPs, not the
+    silently-mangled payloads the r4 ADVICE reproduced (zero-padded gray
+    rows / ABGR 4w-byte rows vs a declared 3w stride). Gray replicates
+    luma; RGBA drops alpha (codecs.to_rgb)."""
+    import numpy as np
+
+    from ontoemma_spark.media import codecs
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (10, 8), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (9, 7, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("gray", "image", bytearray(codecs.encode_png(gray))),
+         ("rgba", "image", bytearray(codecs.encode_png(rgba)))],
+        "media_id string, kind string, payload binary",
+    )
+    from ontoemma_spark.operators.multimodal import resize_images
+
+    got = {r["media_id"]: r for r in resize_images(media, out_w=5, out_h=4).collect()}
+    for mid in ("gray", "rgba"):
+        assert got[mid]["decoded"] is True, mid
+        out = codecs.decode_bmp(bytes(got[mid]["payload"]))
+        assert out.shape == (4, 5, 3), mid
+    g = codecs.nearest_resize(gray, 4, 5)
+    assert np.array_equal(
+        codecs.decode_bmp(bytes(got["gray"]["payload"])),
+        np.repeat(g[:, :, None], 3, axis=2),
+    )
+    assert np.array_equal(
+        codecs.decode_bmp(bytes(got["rgba"]["payload"])),
+        codecs.nearest_resize(rgba, 4, 5)[:, :, :3],
+    )
 
 
 def test_sample_frames_ppm_stream(spark):
