@@ -185,7 +185,8 @@ def _run_workload(
 ) -> tuple[dict, float, int, dict, list[float]]:
     """Run headline + extended queries on a fresh local[cpus] session;
     returns (per-query seconds, headline total, docs processed,
-    extended per-query seconds, all pass totals).
+    extended per-query seconds, all pass totals, extended attempt
+    pairs).
 
     In-band gating: ambient host load (invisible neighbors on this box)
     inflates whole runs UNIFORMLY by up to ~2x — a single-shot total
@@ -251,10 +252,14 @@ def _run_workload(
             if len(s) >= 2 and (s[1] - s[0]) / s[0] <= band_pct / 100.0:
                 break  # two passes agree: the best one reflects code
         spark.catalog.clearCache()
-        # extended set: single timed run each (kg_pipeline runs the whole
-        # 4-stage pipeline incl. writes — best-of-2 would double wall for
-        # a metric that is informational, not the headline)
+        # extended set: best-of-2 per query with BOTH attempt times kept
+        # as dispersion evidence (r4 verdict: single-shot extended lines
+        # made uniform ambient drift read as per-query regressions). The
+        # reported second is the best attempt; ext_attempts carries the
+        # pair so a reader can see whether a slow line was noise (one
+        # bad attempt) or the plan (both attempts slow).
         ext: dict[str, float] = {}
+        ext_attempts: dict[str, list[float]] = {}
         for name in EXTENDED:
             fn = dq.QUERIES.get(name)
             if fn is None:
@@ -264,11 +269,15 @@ def _run_workload(
                     fn(spark, warm_dir).count()
                 except Exception:
                     pass
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            ext[name] = round(time.perf_counter() - t0, 3)
-        return times, total, n_docs, ext, pass_totals
+            attempts = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                attempts.append(round(time.perf_counter() - t0, 3))
+            ext[name] = min(attempts)
+            ext_attempts[name] = attempts
+        return times, total, n_docs, ext, pass_totals, ext_attempts
     finally:
         spark.stop()
 
@@ -278,7 +287,7 @@ def main() -> None:
     cpus_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    times_hi, total_hi, n_docs, ext, pass_totals = _run_workload(cpus_hi)
+    times_hi, total_hi, n_docs, ext, pass_totals, ext_attempts = _run_workload(cpus_hi)
     spread = (
         round(100.0 * (sorted(pass_totals)[1] - min(pass_totals)) / min(pass_totals), 2)
         if len(pass_totals) >= 2 else None
@@ -289,6 +298,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times_hi,
         "queries_extended": ext,
+        # dispersion evidence for extended lines: both best-of-2 attempt
+        # times per query (reported value is the min)
+        "queries_extended_attempts": ext_attempts,
         # dispersion evidence: every headline pass total; value is the
         # best pass, in-band when the two best agree within 5%
         "in_band": {

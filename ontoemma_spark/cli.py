@@ -102,9 +102,15 @@ def load_model(model_type: str, model_path: str | None,
     if model_type == "none":
         return None
     blob = None
+    archive = None
     if model_path:
-        with open(model_path) as f:
-            blob = json.load(f)
+        if model_type == "siamese" and model_path.endswith(
+            (".npz", ".json.gz", ".tar.gz", ".tgz", ".tar")
+        ):
+            archive = model_path  # checkpoint file → load_allennlp_archive
+        else:
+            with open(model_path) as f:
+                blob = json.load(f)
     if model_type == "lr":
         return LRModel.from_dict(blob) if blob else DEFAULT_LR_MODEL
     if model_type == "nn":
@@ -122,7 +128,7 @@ def load_model(model_type: str, model_path: str | None,
         from ontoemma_spark.operators.siamese import load_word_embeddings
 
         words = load_word_embeddings(embeddings_path) if embeddings_path else None
-        if blob:
+        if blob or archive:
             if words is None:
                 import sys as _sys
 
@@ -133,6 +139,10 @@ def load_model(model_type: str, model_path: str | None,
                     "meaningless — pass the model's weights300-style table.",
                     file=_sys.stderr,
                 )
+            if archive:
+                from ontoemma_spark.operators.siamese import load_allennlp_archive
+
+                return load_allennlp_archive(archive, FEATURE_NAMES, words=words)
             state = {k: np.asarray(v, dtype=np.float64) for k, v in blob.items()}
             return SiameseScorer.from_allennlp_state(state, FEATURE_NAMES,
                                                      words=words)

@@ -146,10 +146,11 @@ class MLPModel:
 
 def _load_model(state: dict):
     """Executor-side model realization — called once per partition
-    iterator. For a reference-trained OntoEmmaNN archive, use
-    operators/siamese.py SiameseScorer.from_allennlp_state (the full
-    BiLSTM/char-CNN architecture, numpy forward — no torch needed);
-    here the state dict IS the model (numpy forward)."""
+    iterator. For a reference-trained OntoEmmaNN archive on disk, use
+    operators/siamese.py load_allennlp_archive (reads .npz / .json[.gz]
+    / re-packed model.tar.gz through from_allennlp_state — full
+    BiLSTM/char-CNN numpy forward, no torch needed); here the state
+    dict IS the model (numpy forward)."""
     if TORCH_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("plug torch.load(model_path) here")
     model = MLPModel.from_dict(state)

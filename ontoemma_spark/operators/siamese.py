@@ -495,6 +495,85 @@ class SiameseScorer:
         )
 
 
+def load_allennlp_archive(
+    path: str,
+    feature_names: list[str],
+    words: _EmbeddingCache | None = None,
+) -> "SiameseScorer":
+    """Load a reference-trained checkpoint from disk through the numpy
+    forward — the torch-free close of the model.tar.gz seam
+    (reference training: emma/OntoEmma.py:262-283 writes an AllenNLP
+    archive; this engine only ever needs INFERENCE over its weights).
+
+    Accepted layouts, probed by suffix then content:
+      * ``.npz``          — numpy archive of the state_dict, the
+        documented offline export:
+        ``np.savez(out, **{k: v.numpy() for k, v in
+        torch.load(weights_th, map_location='cpu').items()})``
+      * ``.json`` / ``.json.gz`` — nested-list state, exactly what
+        to_allennlp_state() writes (CLI -m blobs round-trip here)
+      * ``.tar.gz`` / ``.tgz`` — AllenNLP archive layout; the member
+        ``weights.npz`` or ``weights.json[.gz]`` is read (the torch-free
+        re-pack of weights.th). A tar whose only weights are a real
+        ``weights.th`` raises with the one-line export command above —
+        torch pickles are unreadable without torch, and silently
+        guessing weights would produce meaningless scores.
+
+    Parameter names follow AllenNLP's module tree for
+    config/ontoemma_nn_all.json (see from_allennlp_state). As there,
+    pass words=load_word_embeddings(...) for a trained model.
+    """
+    import gzip
+    import io
+    import json as _json
+    import tarfile
+
+    def _from_npz_bytes(b: bytes) -> dict[str, np.ndarray]:
+        with np.load(io.BytesIO(b)) as z:
+            return {k: np.asarray(z[k], dtype=np.float64) for k in z.files}
+
+    def _from_json_bytes(b: bytes) -> dict[str, np.ndarray]:
+        return {k: np.asarray(v, dtype=np.float64)
+                for k, v in _json.loads(b.decode("utf-8")).items()}
+
+    if path.endswith(".npz"):
+        with open(path, "rb") as f:
+            state = _from_npz_bytes(f.read())
+    elif path.endswith(".json") or path.endswith(".json.gz"):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            state = _from_json_bytes(f.read())
+    elif path.endswith((".tar.gz", ".tgz", ".tar")):
+        state = None
+        with tarfile.open(path, "r:*") as tar:
+            members = {m.name.split("/")[-1]: m for m in tar.getmembers()
+                       if m.isfile()}
+            for name, loader in (("weights.npz", _from_npz_bytes),
+                                 ("weights.json", _from_json_bytes),
+                                 ("weights.json.gz", None)):
+                if name in members:
+                    b = tar.extractfile(members[name]).read()
+                    if name.endswith(".gz"):
+                        b, loader = gzip.decompress(b), _from_json_bytes
+                    state = loader(b)
+                    break
+            if state is None:
+                th = [n for n in members if n.endswith(".th")]
+                raise ValueError(
+                    f"{path}: no torch-free weights member found "
+                    f"(has {sorted(members)}); export {th or 'weights.th'} "
+                    "offline with  np.savez('weights.npz', **{k: v.numpy() "
+                    "for k, v in torch.load(p, map_location='cpu').items()})"
+                    "  and re-pack."
+                )
+    else:
+        raise ValueError(
+            f"{path}: unrecognized checkpoint suffix "
+            "(.npz, .json[.gz], .tar[.gz] supported)"
+        )
+    return SiameseScorer.from_allennlp_state(state, feature_names, words=words)
+
+
 def score_pairs_siamese(
     pairs: DataFrame,
     model: SiameseScorer,

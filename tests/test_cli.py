@@ -92,6 +92,31 @@ def test_cli_model_json_roundtrip(spark, kb_files, tmp_path):
     assert m2.feature_names == default_nn_model().feature_names
 
 
+def test_load_model_siamese_archive(tmp_path):
+    """-p siamese -m model.tar.gz loads a reference-format checkpoint
+    through load_allennlp_archive (numpy forward, no torch) and scores
+    identically to the source weights."""
+    import tarfile
+
+    import numpy as np
+
+    from ontoemma_spark.operators.features import FEATURE_NAMES
+    from ontoemma_spark.operators.siamese import SiameseScorer
+
+    src = SiameseScorer.seeded(FEATURE_NAMES, seed=11)
+    npz = tmp_path / "weights.npz"
+    np.savez(npz, **{k: np.asarray(v, dtype=np.float64)
+                     for k, v in src.to_allennlp_state().items()})
+    tgz = tmp_path / "model.tar.gz"
+    with tarfile.open(tgz, "w:gz") as tar:
+        tar.add(npz, arcname="weights.npz")
+    m = load_model("siamese", str(tgz))
+    eng = np.zeros((1, len(FEATURE_NAMES)))
+    a = src.forward(eng, ["heart"], ["heart"], [[]], [[]], ["organ"], ["organ"])
+    b = m.forward(eng, ["heart"], ["heart"], [[]], [[]], ["organ"], ["organ"])
+    assert np.allclose(a, b, atol=0)
+
+
 def test_cli_kb_parquet_dispatch(spark, kb_files, tmp_path):
     s_ents, _ = datagen.synthetic_kb(spark, "S", n_entities=20)
     p = str(tmp_path / "kb_parquet")

@@ -284,3 +284,53 @@ def test_pretrained_embedding_table_rejects_bad_dims(tmp_path):
     p.write_text("word 0.1 0.2 0.3\n")
     with _pt.raises(ValueError, match="3 dims"):
         load_word_embeddings(str(p))
+
+
+def test_load_allennlp_archive_all_layouts(tmp_path):
+    """The torch seam, closed end-to-end: a synthetic reference-format
+    checkpoint (AllenNLP parameter names, written as .npz, .json.gz,
+    and a model.tar.gz-layout tar with weights.npz + config.json)
+    loads through load_allennlp_archive and reproduces the source
+    model's forward pass bit-for-bit; a tar carrying only a real
+    weights.th raises the documented export instruction."""
+    import gzip
+    import json
+    import tarfile
+
+    from ontoemma_spark.operators.siamese import load_allennlp_archive
+
+    m = SiameseScorer.seeded(FEATS, seed=11)
+    state_np = {k: np.asarray(v, dtype=np.float64)
+                for k, v in m.to_allennlp_state().items()}
+    args = _inputs(3)
+    want = m.forward(*args)
+
+    npz = tmp_path / "weights.npz"
+    np.savez(npz, **state_np)
+    got = load_allennlp_archive(str(npz), FEATS).forward(*args)
+    assert np.allclose(want, got, atol=0)
+
+    jgz = tmp_path / "weights.json.gz"
+    with gzip.open(jgz, "wb") as f:
+        f.write(json.dumps(m.to_allennlp_state()).encode())
+    got = load_allennlp_archive(str(jgz), FEATS).forward(*args)
+    assert np.allclose(want, got, atol=0)
+
+    # model.tar.gz layout: config.json + vocabulary/ + weights.npz
+    tgz = tmp_path / "model.tar.gz"
+    with tarfile.open(tgz, "w:gz") as tar:
+        tar.add(npz, arcname="weights.npz")
+        cfg = tmp_path / "config.json"
+        cfg.write_text('{"model": {"type": "ontoemma_nn"}}')
+        tar.add(cfg, arcname="config.json")
+    got = load_allennlp_archive(str(tgz), FEATS).forward(*args)
+    assert np.allclose(want, got, atol=0)
+
+    # a real torch pickle cannot be read without torch: loud seam
+    th_tar = tmp_path / "torch_only.tar.gz"
+    with tarfile.open(th_tar, "w:gz") as tar:
+        th = tmp_path / "weights.th"
+        th.write_bytes(b"\x80\x02torchpickle")
+        tar.add(th, arcname="weights.th")
+    with pytest.raises(ValueError, match="np.savez"):
+        load_allennlp_archive(str(th_tar), FEATS)
