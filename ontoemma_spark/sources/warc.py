@@ -78,27 +78,69 @@ def _open_stream(raw: bytes | io.IOBase):
     return stream
 
 
-def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
+# Bound on how far the scanner hunts for the next record preamble after
+# a malformed record before declaring the rest of the archive garbage —
+# keeps a corrupt 1 GiB tail from being line-scanned end to end.
+_MAX_RESYNC_BYTES = 1_048_576
+# readline cap: binary garbage can contain no newline for megabytes; an
+# uncapped readline would materialize that span as one "line".
+_MAX_LINE = 65_536
+
+
+def _resync(stream, stats: dict, max_bytes: int = _MAX_RESYNC_BYTES):
+    """Skip quarantined bytes until the next `WARC/` preamble line (the
+    standard warcio-style recovery). Returns that line, or None when no
+    preamble appears within max_bytes / before EOF."""
+    stats["resyncs"] = stats.get("resyncs", 0) + 1
+    seen = 0
+    while seen < max_bytes:
+        line = stream.readline(_MAX_LINE)
+        if not line:
+            return None
+        seen += len(line)
+        if line.startswith(b"WARC/"):
+            return line
+    return None
+
+
+def iter_warc_records(
+    stream, stats: dict | None = None
+) -> Iterator[tuple[dict, bytes]]:
     """Yield (headers, payload) per WARC record from a file-like object
     of (decompressed) archive bytes, reading incrementally — at no point
-    is more than one record's payload held. Stops cleanly at the first
-    malformed record (garbage preamble / non-numeric length) so corrupt
-    archives degrade to their parseable prefix. A final record truncated
-    mid-payload IS yielded with the bytes present (r3 slice semantics,
-    pinned by test_warc_corrupt_archives_do_not_kill_the_scan — a
-    partially fetched page is still a page; downstream quality gates are
-    the filter for mangled documents), then the scan stops."""
+    is more than one record's payload held.
+
+    Malformed records QUARANTINE, they don't kill the archive: a
+    garbage preamble or a missing/non-numeric Content-Length (the one
+    header the scanner cannot parse around — without it the payload
+    span is unknown) skips forward to the next `WARC/` preamble line
+    (bounded hunt, `_MAX_RESYNC_BYTES`) and the scan continues; only an
+    archive whose remainder contains no further preamble degrades to
+    its parseable prefix. A final record truncated mid-payload IS
+    yielded with the bytes present (r3 slice semantics, pinned by
+    test_warc_corrupt_archives_do_not_kill_the_scan — a partially
+    fetched page is still a page; downstream quality gates are the
+    filter for mangled documents), then the scan stops.
+
+    stats (optional dict) is incremented in place: records (yielded),
+    resyncs (quarantine recoveries attempted), truncated (0/1)."""
+    st = stats if stats is not None else {}
+    pending: bytes | None = None
     while True:
-        line = stream.readline()
+        line = pending if pending is not None else stream.readline(_MAX_LINE)
+        pending = None
         if not line:
             return
         if line in (b"\r\n", b"\n"):  # inter-record blank lines
             continue
         if not line.startswith(b"WARC/"):
-            return
+            pending = _resync(stream, st)
+            if pending is None:
+                return
+            continue
         headers: dict[str, str] = {}
         while True:
-            line = stream.readline()
+            line = stream.readline(_MAX_LINE)
             if not line or line in (b"\r\n", b"\n"):
                 break
             k, sep, v = line.partition(b":")
@@ -109,20 +151,66 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return  # malformed length: stop scanning this archive
+            # unknown payload span: quarantine this record, resync
+            pending = _resync(stream, st)
+            if pending is None:
+                return
+            continue
         body = stream.read(length)
+        st["records"] = st.get("records", 0) + 1
         yield headers, body
         if len(body) < length:  # truncated final record
+            st["truncated"] = st.get("truncated", 0) + 1
             return
+
+
+def _dechunk(data: bytes) -> bytes | None:
+    """Decode an HTTP/1.1 chunked body (size-in-hex CRLF chunk CRLF …
+    0 CRLF). Returns None on unparseable framing (caller falls back to
+    the raw bytes — quarantine, not crash); a body truncated mid-chunk
+    keeps the bytes present (same slice semantics as truncated WARC
+    payloads)."""
+    out = []
+    pos = 0
+    while True:
+        nl = data.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        size_tok = data[pos:nl].split(b";")[0].strip()  # drop chunk exts
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return b"".join(out)
+        start = nl + 2
+        chunk = data[start : start + size]
+        out.append(chunk)
+        if len(chunk) < size:  # truncated mid-chunk
+            return b"".join(out)
+        pos = start + size + 2  # skip the chunk's trailing CRLF
 
 
 def _http_payload(body: bytes) -> bytes:
     """Response-record bodies carry an HTTP message; strip its header
-    block. Records without an HTTP preamble pass through unchanged."""
+    block. CC stores responses RAW, so `Transfer-Encoding: chunked`
+    bodies keep their wire framing — de-chunk them (warcio does the
+    same); unparseable chunk framing falls back to the raw payload.
+    Records without an HTTP preamble pass through unchanged."""
     if body[:5] in (b"HTTP/",):
         sep = body.find(b"\r\n\r\n")
         if sep >= 0:
-            return body[sep + 4 :]
+            head = body[:sep].lower()
+            payload = body[sep + 4 :]
+            chunked = any(
+                ln.startswith(b"transfer-encoding:") and b"chunked" in ln
+                for ln in head.split(b"\r\n")
+            )
+            if chunked:
+                dec = _dechunk(payload)
+                if dec is not None:
+                    return dec
+            return payload
     return body
 
 
@@ -146,23 +234,30 @@ def _parse_ts(value: str):
         return dt.astimezone(timezone.utc).replace(tzinfo=None)
 
 
-def parse_warc_rows(raw: bytes | io.IOBase) -> Iterator[tuple]:
+def parse_warc_rows(
+    raw: bytes | io.IOBase, stats: dict | None = None
+) -> Iterator[tuple]:
     """Streaming archive → pages-row generator (the per-task kernel).
     Corrupt gzip data (bad member header, truncated stream) ends the
-    scan after the rows already parsed instead of failing the task."""
-    records = iter_warc_records(_open_stream(raw))
+    scan after the rows already parsed instead of failing the task.
+    stats (optional dict, see iter_warc_records) additionally gains:
+    pages (rows yielded), gzip_error (0/1)."""
+    st = stats if stats is not None else {}
+    records = iter_warc_records(_open_stream(raw), stats=st)
     while True:
         try:
             headers, body = next(records)
         except StopIteration:
             return
         except (OSError, EOFError, zlib.error):
+            st["gzip_error"] = st.get("gzip_error", 0) + 1
             return  # corrupt compressed data: keep the parseable prefix
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
         if not url:
             continue
+        st["pages"] = st.get("pages", 0) + 1
         yield (url, _parse_ts(headers.get("warc-date", "")),
                _http_payload(body), None, None)
 
@@ -227,6 +322,48 @@ def load_warc(
 
     return files.select("content").mapInPandas(
         _pages_scan_udf(rows_per_batch), schema=PAGES_SCHEMA
+    )
+
+
+WARC_STATS_SCHEMA = (
+    "path string, pages bigint, records bigint, resyncs bigint, "
+    "truncated bigint, gzip_error bigint"
+)
+
+
+def warc_scan_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Quarantine/observability report over an archive directory: one
+    row per archive with (pages emitted, records parsed, resync
+    recoveries, truncated-final-record flag, gzip-corruption flag) —
+    the counters an ingest job alerts on. Corrupt archives in the wild
+    are the NORM at crawl scale; this is the query that tells you how
+    much of a crawl the scanner quarantined vs parsed, per shard.
+
+    Same per-file parallelism and streaming scanner as load_warc (the
+    stats dict rides the same pass — no second parse), so running it
+    costs one archive scan with no page payloads in the output."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                st: dict = {}
+                for _ in parse_warc_rows(bytes(c), stats=st):
+                    pass
+                rows.append((
+                    p, st.get("pages", 0), st.get("records", 0),
+                    st.get("resyncs", 0), st.get("truncated", 0),
+                    st.get("gzip_error", 0),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "pages", "records", "resyncs",
+                         "truncated", "gzip_error"],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        scan, schema=WARC_STATS_SCHEMA
     )
 
 
