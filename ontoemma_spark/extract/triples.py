@@ -101,3 +101,15 @@ def extract_triples_py(text: str) -> list[tuple[int, str, str, str]]:
             if m and m.group(1) and m.group(2):
                 out.append((idx, m.group(1), pred, m.group(2)))
     return out
+
+
+def split_sentences_spacy(text: str | None, model: str = "en_core_web_sm") -> list[str]:
+    """Optional REAL-spaCy sentence boundaries (F15) for users who ship
+    the public model — lifts the regex spec's 0.955 golden boundary
+    agreement to reference parity. Shares the per-executor pipeline
+    singleton with the F9 parse path (functions.parse.load_spacy); the
+    parser component provides `doc.sents`. Twin signature of
+    split_sentences_py so either can back a mapInPandas splitter."""
+    from ontoemma_spark.functions.parse import load_spacy
+
+    return [s.text for s in load_spacy(model)(text or "").sents]

@@ -82,3 +82,65 @@ def np_parse(name: str | None) -> tuple[str, list[str]]:
         if len(ch) >= 2 and non_det:
             heads.add(non_det[-1])
     return root, sorted(heads)
+
+
+# ---------------------------------------------------------------------------
+# Optional REAL-spaCy executor path (r4 verdict item 8): for users who
+# can ship the public model, this lifts the 0.981/0.952 golden
+# agreement of the rules above to exact reference parity. Heavyweight
+# init is per-EXECUTOR (module-global pipeline, loaded once per python
+# worker — SURVEY §2.12's cost note), never per row.
+# ---------------------------------------------------------------------------
+
+_SPACY_NLP = None
+
+
+def spacy_available() -> bool:
+    """True when the spaCy package is importable (the model is checked
+    at load time — load_spacy raises its own actionable error)."""
+    try:
+        import spacy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def load_spacy(model: str = "en_core_web_sm"):
+    """Executor-side pipeline singleton. NER/lemmatizer disabled — the
+    F9 feature only needs the dependency parse."""
+    global _SPACY_NLP
+    if _SPACY_NLP is None:
+        import spacy
+
+        _SPACY_NLP = spacy.load(model, disable=["ner", "lemmatizer"])
+    return _SPACY_NLP
+
+
+def np_parse_spacy(name: str | None, model: str = "en_core_web_sm"):
+    """(root, sorted root_words) from a REAL spaCy dependency parse —
+    the exact reference semantics (EngineeredFeatureGenerator.py:34-44:
+    root = the ROOT token's text, root_words = {token.head.text} over
+    all tokens). Drop-in signature twin of np_parse."""
+    doc = load_spacy(model)(name or "")
+    root = ""
+    heads: set[str] = set()
+    for tok in doc:
+        if tok.dep_ == "ROOT":
+            root = tok.text
+        heads.add(tok.head.text)
+    return root, sorted(heads)
+
+
+def np_parse_auto(name: str | None):
+    """Backend-dispatching parse used by the feature UDFs: set
+    ONTOEMMA_PARSE_BACKEND=spacy (executor env, e.g. via
+    spark.executorEnv.ONTOEMMA_PARSE_BACKEND) to route through the real
+    parser; default stays the deterministic rules (identical output on
+    ~95-98% of ontology names, zero model dependency, and the form the
+    DuckDB oracles pin)."""
+    import os
+
+    if os.environ.get("ONTOEMMA_PARSE_BACKEND") == "spacy":
+        return np_parse_spacy(name)
+    return np_parse(name)

@@ -47,11 +47,13 @@ def _np_parse_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """F9: noun-phrase head finder over the RAW canonical name (the
     reference parses ent['canonical_name'] with spaCy — the parse sees
     prepositions and determiners, so it must NOT run on the
-    stopword-filtered token array)."""
-    from ontoemma_spark.functions.parse import np_parse
+    stopword-filtered token array). Backend-dispatching: executors with
+    ONTOEMMA_PARSE_BACKEND=spacy + the public model run the real parser
+    (parse.np_parse_auto); the default is the deterministic rules."""
+    from ontoemma_spark.functions.parse import np_parse_auto
 
     for series in it:
-        parsed = series.map(np_parse)
+        parsed = series.map(np_parse_auto)
         yield pd.DataFrame(
             {"root": parsed.map(lambda p: p[0]), "root_words": parsed.map(lambda p: p[1])}
         )
@@ -74,7 +76,7 @@ def _derived_text_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.
     serialize/deserialize passes over the entity table for no reason
     (they are independent per-row functions). Inputs: (name_tokens,
     canonical_name)."""
-    from ontoemma_spark.functions.parse import np_parse
+    from ontoemma_spark.functions.parse import np_parse_auto
 
     for toks_series, name_series in it:
         stemmed = toks_series.map(
@@ -83,7 +85,7 @@ def _derived_text_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.
         lemmed = toks_series.map(
             lambda toks: [simple_lemmatize(t) for t in toks] if toks is not None else None
         )
-        parsed = name_series.map(np_parse)
+        parsed = name_series.map(np_parse_auto)
         yield pd.DataFrame(
             {
                 "stemmed": stemmed,
