@@ -72,6 +72,8 @@ EXTENDED = [
     "lm_filter",
     "url_blocklist",
     "winnowing",
+    # round 5: the LSH skew guard (hot-band cap) pair join
+    "lsh_hot_band_cap",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -691,6 +691,83 @@ FROM dup
 """
 
 
+# 17d. lsh_hot_band_cap — the LSH skew guard, driver-verified
+_HOTCAP_BOILER = (
+    "all rights reserved standard boilerplate navigation chrome footer"
+)
+_HOTCAP_MAX_BAND_DF = 8  # < the boiler band's df at every test SF (10 at sf0.001)
+
+
+def q_lsh_hot_band_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH hot-band guard (drop_hot_bands, r4 verdict item 3) under
+    driver verification: every 5th doc carries IDENTICAL boilerplate —
+    one degenerate band whose df is n/5 and whose uncapped fan-out is
+    quadratic (C(n/5,2) pairs; at 10^12 docs that one band emits ~10^22
+    rows, an output-cardinality blow-up AQE cannot fix). Docs 2k/2k+1
+    (both non-boiler) share text pairwise — legitimate near-dups with
+    band df=2. With max_band_df=8 the boiler band is anti-joined away
+    and ONLY the legitimate pairs survive; the twin applies the same
+    cap as a HAVING on band document frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_HOTCAP_BOILER))
+        .otherwise(F.concat(
+            F.lit("unique page content block "),
+            F.floor(F.col("doc_id") / 2).cast("string"),
+            F.lit(" body words alpha beta gamma delta"),
+        )).alias("text"),
+    )
+    sig = D.minhash_signatures_narrow(
+        pages, w=SHINGLE_W, num_hashes=NUM_MINHASHES
+    )
+    pairs = D.lsh_candidate_pairs(
+        sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS,
+        max_band_df=_HOTCAP_MAX_BAND_DF,
+    )
+    return pairs.select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+    )
+
+
+SQL_LSH_HOT_BAND_CAP = (
+    """
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '"""
+    + _HOTCAP_BOILER
+    + """'
+              ELSE 'unique page content block ' || CAST(doc_id // 2 AS VARCHAR)
+                   || ' body words alpha beta gamma delta'
+         END AS text
+  FROM documents
+), """
+    + _SHINGLE_CTE.strip()[len("WITH "):].replace("FROM documents", "FROM pages")
+    + f"""
+, sig AS (
+  SELECT doc_id, {", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(NUM_MINHASHES))}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), keep AS (
+  -- the cap: bands above max_band_df are quarantined (drop_hot_bands)
+  SELECT band_idx, band_hash FROM bands
+  GROUP BY 1, 2 HAVING count(*) <= {_HOTCAP_MAX_BAND_DF}
+), capped AS (
+  SELECT b.doc_id, b.band_idx, b.band_hash
+  FROM bands b JOIN keep USING (band_idx, band_hash)
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                CAST(b.doc_id AS BIGINT) AS doc_b
+FROM capped a JOIN capped b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+)
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -4343,12 +4420,14 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the 36 queries the r4 driver did not reach
-    # (dedup_exact .. mesh_load, last driver-green r1-r3), then the three
-    # r4 reds whose oracle twins were CAST-fixed this round
-    # (token_budget, paragraph_dedup, web_dedup_pass) so the driver
-    # re-verifies the fix, then the 47 r4-exact-greens.
+    # Front block as of r5: the new r5 query (lsh_hot_band_cap) first,
+    # then the 36 queries the r4 driver did not reach (dedup_exact ..
+    # mesh_load, last driver-green r1-r3), then the three r4 reds whose
+    # oracle twins were CAST-fixed this round (token_budget,
+    # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
+    # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
+    "lsh_hot_band_cap": q_lsh_hot_band_cap,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_dup_candidates": q_lsh_dup_candidates,
@@ -4438,6 +4517,7 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "lsh_hot_band_cap": SQL_LSH_HOT_BAND_CAP,
     "kb_normalize": SQL_KB_NORMALIZE,
     "token_idf": SQL_TOKEN_IDF,
     "blocking_candidates": SQL_BLOCKING_CANDIDATES,
