@@ -72,8 +72,10 @@ EXTENDED = [
     "lm_filter",
     "url_blocklist",
     "winnowing",
-    # round 5: the LSH skew guard (hot-band cap) pair join
+    # round 5: the LSH skew guard (hot-band cap) pair join + the
+    # sparse relational Bloom membership probe
     "lsh_hot_band_cap",
+    "bloom_url_seen",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -1097,3 +1097,89 @@ def cached_shingle_signatures(
         num_hashes=num_hashes,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return sh, sig
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup state (round 5): the cross-crawl membership shape
+# production pipelines (CC-Net, Dolma) use when the exact key set is
+# too expensive to keep hot — URL-seen / content-hash-seen probes over
+# 10^12 keys. Entirely relational and bitwise (no Python, no UDF):
+# the filter is a (word_idx, word) table of 32-bit words, which is a
+# SPARSE bloom — only non-zero words are stored, the table is bounded
+# by m_bits/32 rows regardless of corpus size, and both the build and
+# the probe are equi-shapes on word_idx.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # default filter width; size to ~10 bits/key for ~1% FPR
+BLOOM_K = 2             # hash functions
+
+
+def _bloom_positions(key_col, m_bits: int, k: int):
+    """k deterministic bit positions per key: the first 8 hex chars of
+    md5('bloom{i}:'+key) parsed base-16, mod m_bits. Cross-engine: the
+    DuckDB twin is CAST('0x'||substr(md5(...),1,8) AS BIGINT) % m."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return [
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), c)), 1, 8),
+                16, 10).cast("bigint") % m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_state(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build the filter: (word_idx bigint, word bigint) — 32 bits per
+    word (bit 31 max keeps every mask positive in both engines' signed
+    bigints). One explode + one map-side-combinable bit_or aggregate;
+    at 10^12 keys the aggregate's combine happens in the scan stage and
+    the exchange carries at most m_bits/32 rows. Persist bucketed on
+    word_idx (tableio.write_stage) so every future probe co-locates.
+
+    vs dedup_state's exact tables: the bloom answers "maybe seen" in
+    O(m_bits) space with a tunable false-positive rate (size m_bits at
+    ~10 bits/key for ~1%) and NO false negatives — the standard trade
+    when the exact key set no longer fits the ingest hot path."""
+    pos = F.explode(F.array(*_bloom_positions(key_col, m_bits, k))).alias("pos")
+    return (
+        keys.select(pos)
+        .select((F.col("pos") / 32).cast("bigint").alias("word_idx"),
+                F.pow(F.lit(2.0), F.col("pos") % 32).cast("bigint").alias("m"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    state: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """batch + maybe_seen: true iff ALL k bit positions of the row's
+    key are set in the filter (bloom semantics — false positives at
+    the filter's FPR, never false negatives). Probe shape: explode k
+    (word_idx, mask) probes per row, ONE left equi-join against the
+    word table (state is ≤ m_bits/32 rows — broadcastable up to
+    ~2^26 bits; beyond that, bucket both sides on word_idx), then a
+    map-side-combinable min over the k hit flags per row."""
+    probes = batch.select(
+        F.col(id_col),
+        F.explode(F.array(*_bloom_positions(key_col, m_bits, k))).alias("pos"),
+    ).select(
+        id_col,
+        (F.col("pos") / 32).cast("bigint").alias("word_idx"),
+        F.pow(F.lit(2.0), F.col("pos") % 32).cast("bigint").alias("m"),
+    )
+    hits = probes.join(state, "word_idx", "left").select(
+        id_col,
+        (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("m")) == F.col("m"))
+        .cast("int").alias("hit"),
+    )
+    seen = hits.groupBy(id_col).agg((F.min("hit") == 1).alias("maybe_seen"))
+    return batch.join(seen, id_col, "left")

@@ -691,6 +691,65 @@ FROM dup
 """
 
 
+# 17e. bloom_url_seen — sparse relational Bloom membership state
+def q_bloom_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-crawl URL-seen probe (dedup.bloom_state /
+    bloom_probe — the CC-Net/Dolma membership shape when the exact key
+    set is too expensive for the ingest hot path): corpus = docs<250's
+    canonical URLs; batch keys wrap at 300, so ~5/6 of the batch rehits
+    the corpus and site250-299 are genuinely new. The twin computes
+    bloom SEMANTICS exactly — membership = all k hashed positions of
+    the key present in the corpus's position set — so false positives
+    (if the fill ratio ever produced one) match bit-for-bit too."""
+    from ontoemma_spark.operators.dedup import bloom_probe, bloom_state
+
+    docs = _t(spark, sf_dir, "documents")
+    url = lambda c: F.concat(  # noqa: E731
+        F.lit("https://site"), c.cast("string"), F.lit(".example/page")
+    )
+    corpus = docs.filter(F.col("doc_id") < 250).select(
+        url(F.col("doc_id")).alias("key")
+    )
+    batch = docs.select(
+        "doc_id", url(F.col("doc_id") % 300).alias("key")
+    )
+    state = bloom_state(corpus)
+    return bloom_probe(batch, state).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "maybe_seen"
+    )
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    from ontoemma_spark.operators.dedup import BLOOM_M_BITS
+
+    return (f"CAST('0x' || substr(md5('bloom{i}:' || {expr}), 1, 8) AS BIGINT)"
+            f" % {BLOOM_M_BITS}")
+
+
+SQL_BLOOM_URL_SEEN = f"""
+WITH corpus AS (
+  SELECT 'https://site' || CAST(doc_id AS VARCHAR) || '.example/page' AS key
+  FROM documents WHERE doc_id < 250
+), batch AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 300 AS VARCHAR) || '.example/page' AS key
+  FROM documents
+), cpos AS (
+  SELECT DISTINCT {_bloom_pos_sql('key', 0)} AS pos FROM corpus
+  UNION
+  SELECT DISTINCT {_bloom_pos_sql('key', 1)} AS pos FROM corpus
+), bpos AS (
+  SELECT doc_id, unnest([{_bloom_pos_sql('key', 0)},
+                         {_bloom_pos_sql('key', 1)}]) AS pos
+  FROM batch
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       bool_and(c.pos IS NOT NULL) AS maybe_seen
+FROM bpos b LEFT JOIN cpos c USING (pos)
+GROUP BY b.doc_id
+"""
+
+
 # 17d. lsh_hot_band_cap — the LSH skew guard, driver-verified
 _HOTCAP_BOILER = (
     "all rights reserved standard boilerplate navigation chrome footer"
@@ -4420,13 +4479,15 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the new r5 query (lsh_hot_band_cap) first,
+    # Front block as of r5: the new r5 queries (bloom_url_seen,
+    # lsh_hot_band_cap) first,
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
     # mesh_load, last driver-green r1-r3), then the three r4 reds whose
     # oracle twins were CAST-fixed this round (token_budget,
     # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
     # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
+    "bloom_url_seen": q_bloom_url_seen,
     "lsh_hot_band_cap": q_lsh_hot_band_cap,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -4517,6 +4578,7 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bloom_url_seen": SQL_BLOOM_URL_SEEN,
     "lsh_hot_band_cap": SQL_LSH_HOT_BAND_CAP,
     "kb_normalize": SQL_KB_NORMALIZE,
     "token_idf": SQL_TOKEN_IDF,

@@ -450,3 +450,58 @@ def test_token_budget_sample_null_text_costs_zero(spark):
     zero = spark.createDataFrame([("cap", 0)], "source string, token_budget bigint")
     kept = {r["doc_id"] for r in token_budget_sample(docs, zero).collect()}
     assert kept == {3}
+
+
+def test_bloom_state_and_probe(spark):
+    """Sparse relational Bloom filter: no false negatives ever (every
+    built key probes maybe_seen=true), false positives ≈ 0 at this
+    fill ratio (600 set bits in 2^20), and the state is bounded by
+    m_bits/32 rows. Python twin pins the exact bit positions."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.dedup import (
+        BLOOM_K, BLOOM_M_BITS, bloom_probe, bloom_state,
+    )
+
+    seen_keys = [f"https://seen{i}.example/p/{i}" for i in range(300)]
+    corpus = spark.createDataFrame([(k,) for k in seen_keys], ["key"])
+    state = bloom_state(corpus)
+    n_words = state.count()
+    assert n_words <= BLOOM_M_BITS // 32
+    assert n_words >= 1
+
+    # python twin of the position math (conv(substr(md5),16,10) % m)
+    def pos(key, i):
+        return int(hashlib.md5(f"bloom{i}:{key}".encode()).hexdigest()[:8], 16) % BLOOM_M_BITS
+
+    words = {r["word_idx"]: r["word"] for r in state.collect()}
+    for key in seen_keys[:20]:
+        for i in range(BLOOM_K):
+            p = pos(key, i)
+            assert words[p // 32] & (1 << (p % 32)), (key, i)
+
+    batch = spark.createDataFrame(
+        [(j, seen_keys[j]) for j in range(150)]
+        + [(1000 + j, f"https://new{j}.example/q") for j in range(150)],
+        ["doc_id", "key"],
+    )
+    got = {r["doc_id"]: r["maybe_seen"] for r in bloom_probe(batch, state).collect()}
+    assert all(got[j] for j in range(150))          # no false negatives
+    fp = sum(1 for j in range(150) if got[1000 + j])
+    assert fp <= 2                                   # FPR ~ (600/2^20)^2
+
+
+def test_bloom_probe_plan_is_relational(spark):
+    """Build + probe must be pure equi-shapes: no Python eval, no
+    cartesian, and the probe's word join an equi hash/broadcast join."""
+    from ontoemma_spark.operators.dedup import bloom_probe, bloom_state
+
+    key = F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    corpus = spark.range(100).select(key)
+    state = bloom_state(corpus)
+    batch = spark.range(50).select(F.col("id").alias("doc_id"), key)
+    plan = bloom_probe(batch, state)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
