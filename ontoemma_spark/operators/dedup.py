@@ -1183,3 +1183,49 @@ def bloom_probe(
     )
     seen = hits.groupBy(id_col).agg((F.min("hit") == 1).alias("maybe_seen"))
     return batch.join(seen, id_col, "left")
+
+
+def bloom_gated_dedup(
+    batch: DataFrame,
+    corpus_keys: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    state: DataFrame | None = None,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Two-tier production ingest gate: bloom pre-filter, exact confirm.
+
+    Tier 1 probes the sparse bloom (broadcast-sized word table) — rows
+    whose probe misses are DEFINITELY fresh (blooms have no false
+    negatives) and bypass the corpus-key join entirely. Tier 2 runs
+    the exact membership join only for the maybe_seen slice, so the
+    expensive 10^12-key equi-join shrinks to (dup_rate + FPR) of the
+    batch instead of all of it — for a mostly-fresh crawl at ~1% FPR
+    that is a ~50-100x reduction in join input. Output `is_dup` is
+    EXACT (bloom false positives are resolved by the confirm join).
+
+    The probed batch is evaluated by two branches (fresh / maybe);
+    callers on the ingest hot path should persist or checkpoint the
+    probe output so the bloom join runs once — the driver query and
+    tests leave it lazy because the probe is a narrow broadcast shape.
+    """
+    if state is None:
+        state = bloom_state(corpus_keys, key_col=key_col, m_bits=m_bits, k=k)
+    probed = bloom_probe(
+        batch, state, key_col=key_col, id_col=id_col, m_bits=m_bits, k=k
+    )
+    fresh = probed.filter(~F.col("maybe_seen")).select(
+        *batch.columns, F.lit(False).alias("is_dup")
+    )
+    corpus = corpus_keys.select(key_col).distinct().withColumn(
+        "_in_corpus", F.lit(1)
+    )
+    confirmed = (
+        probed.filter(F.col("maybe_seen"))
+        .join(corpus, key_col, "left")
+        .select(
+            *batch.columns, F.col("_in_corpus").isNotNull().alias("is_dup")
+        )
+    )
+    return fresh.unionByName(confirmed)

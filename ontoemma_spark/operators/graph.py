@@ -10,7 +10,7 @@ Reference:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ontoemma_spark import config
@@ -212,3 +212,117 @@ def pagerank(
     finally:
         weighted.unpersist()
         nodes.unpersist()
+
+
+def weighted_edges(
+    edges: DataFrame,
+    key_cols: tuple[str, ...] = ("subject_id", "relation_type", "object_id"),
+    page_col: str = "url",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """KG edge consolidation: collapse per-page (subj, pred, obj)
+    emissions into ONE weighted edge per distinct triple — support
+    count, distinct-page support, first/last observation — the
+    materialize-stage shape of the north-rule pipeline (a 10^12-page
+    crawl emits the same popular triple from millions of pages; the
+    node/edge tables store it once, weighted).
+
+    Scale: `support`/min/max are algebraic — Spark's hash aggregate
+    partial-applies them map-side, so the exchange carries one row per
+    (partition, triple), and a head triple ("Paris is-a city") costs
+    ~n_partitions rows, not n_pages. The distinct-page count is NOT
+    algebraic, so it is computed as distinct-then-count: the distinct
+    shuffles by (triple, page) — a head triple's pages spread across
+    the whole cluster instead of one reducer (the same skew-spreading
+    shape as a salted two-phase agg, without the salt bookkeeping) —
+    and the following count per triple is map-side combinable again.
+    """
+    keys = list(key_cols)
+    aggs = [F.count(F.lit(1)).alias("support")]
+    if ts_col is not None:
+        aggs += [
+            F.min(ts_col).alias("first_seen"),
+            F.max(ts_col).alias("last_seen"),
+        ]
+    support = edges.groupBy(*keys).agg(*aggs)
+    pages = (
+        edges.select(*keys, page_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return support.join(pages, keys)
+
+
+def entity_cooccurrence_pmi(
+    mentions: DataFrame,
+    doc_col: str = "doc_id",
+    ent_col: str = "entity",
+    max_per_doc: int = 64,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Entity co-occurrence PMI over per-document mention sets — the
+    statistical edge-weighting signal KG pipelines attach alongside
+    extracted triples (entities that co-occur far above chance are
+    related even when no pattern fired).
+
+    pmi(a,b) = ln(n_ab * N / (n_a * n_b)) over documents, where N is
+    the doc count AFTER the per-doc cap.
+
+    Scale guards, in order: (1) per-doc distinct() bounds repeat
+    mentions; (2) a deterministic per-doc cap (first `max_per_doc`
+    entities by name) bounds the self-join fan-out at
+    C(max_per_doc, 2) pairs per doc — without it one mega-doc listing
+    10^5 entities emits 10^10 pairs, the same output-cardinality
+    blow-up as an uncapped LSH band; (3) `min_pair_count` prunes the
+    long singleton tail before the join against marginals. The
+    marginal table and the scalar N are broadcast (entity vocabulary
+    and 1 row — tiny next to the pair table)."""
+    ents = mentions.select(doc_col, ent_col).distinct()
+    capped = (
+        ents.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(doc_col).orderBy(ent_col)
+            ),
+        )
+        .filter(F.col("_rk") <= max_per_doc)
+        .drop("_rk")
+    )
+    n_total = capped.select(
+        F.count_distinct(doc_col).alias("n_docs")
+    )
+    marginals = capped.groupBy(ent_col).agg(
+        F.count(F.lit(1)).alias("n_ent")
+    )
+    a = capped.select(
+        F.col(doc_col).alias("_doc"), F.col(ent_col).alias("ent_a")
+    )
+    b = capped.select(
+        F.col(doc_col).alias("_doc"), F.col(ent_col).alias("ent_b")
+    )
+    pairs = (
+        a.join(b, "_doc")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    m_a = F.broadcast(
+        marginals.select(F.col(ent_col).alias("ent_a"), F.col("n_ent").alias("n_a"))
+    )
+    m_b = F.broadcast(
+        marginals.select(F.col(ent_col).alias("ent_b"), F.col("n_ent").alias("n_b"))
+    )
+    return (
+        pairs.join(m_a, "ent_a")
+        .join(m_b, "ent_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "ent_a", "ent_b", "n_ab",
+            F.log(
+                F.col("n_ab") * F.col("n_docs")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("pmi"),
+        )
+    )

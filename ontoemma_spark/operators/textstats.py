@@ -603,3 +603,44 @@ def normalize_url(url_col, tracking_param_re: str = _TRACKING_PARAM_RE) -> F.Col
         host, path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def anchor_text_profile(
+    links: DataFrame,
+    dst_col: str = "dst_host",
+    anchor_col: str = "anchor_text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-target anchor-text profile: the top-k most frequent anchor
+    tokens pointing at each destination — the classic web-graph signal
+    KG pipelines use to name/alias entities (what the web *calls* a
+    page beats what the page calls itself).
+
+    Output: (dst, token, n, rank), rank 1..top_k per dst, ties broken
+    lexicographically so the result is deterministic.
+
+    Scale: tokenize+explode is narrow; the (dst, token) count is ONE
+    map-side-combinable exchange — a head destination's counts
+    partial-aggregate in the scan stage, so the shuffle carries one
+    row per (partition, dst, token), not one per link. The top-k
+    window runs on the aggregated table (bounded by |dst vocab| x
+    |token vocab per dst|, already orders of magnitude smaller than
+    the link table); window skew is bounded by per-dst distinct
+    anchor-token vocabulary, not link count."""
+    toks = links.select(
+        F.col(dst_col).alias("dst"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(anchor_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("dst", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

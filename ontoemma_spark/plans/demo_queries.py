@@ -827,6 +827,217 @@ WHERE a.doc_id < b.doc_id
 )
 
 
+# 17f. bloom_gated_dedup — the two-tier ingest gate (bloom + exact confirm)
+def q_bloom_gated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier cross-crawl dedup gate (dedup.bloom_gated_dedup): bloom
+    pre-filter routes definitely-fresh rows past the corpus-key join,
+    the exact confirm join resolves the maybe_seen slice. Output is
+    EXACT membership (bloom FPs are confirmed away, and blooms have no
+    false negatives), so the twin is a plain EXISTS — the bloom is an
+    execution strategy here, not a semantics change."""
+    from ontoemma_spark.operators.dedup import bloom_gated_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    url = lambda c: F.concat(  # noqa: E731
+        F.lit("https://site"), c.cast("string"), F.lit(".example/page")
+    )
+    corpus = docs.filter(F.col("doc_id") < 250).select(
+        url(F.col("doc_id")).alias("key")
+    )
+    batch = docs.select(
+        "doc_id", url(F.col("doc_id") % 300).alias("key")
+    )
+    return bloom_gated_dedup(batch, corpus).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "key", "is_dup"
+    )
+
+
+SQL_BLOOM_GATED_DEDUP = """
+WITH corpus AS (
+  SELECT 'https://site' || CAST(doc_id AS VARCHAR) || '.example/page' AS key
+  FROM documents WHERE doc_id < 250
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://site' || CAST(doc_id % 300 AS VARCHAR) || '.example/page' AS key,
+       EXISTS (SELECT 1 FROM corpus c
+               WHERE c.key = 'https://site' || CAST(doc_id % 300 AS VARCHAR)
+                             || '.example/page') AS is_dup
+FROM documents
+"""
+
+
+# 17g. kg_edge_weights — KG edge consolidation (weighted_edges)
+def q_kg_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-stage edge weighting (graph.weighted_edges): pages
+    synthesized from a SMALL token pool (subj = w{doc_id%7} etc.) so
+    popular triples repeat across many pages — the head-entity shape —
+    then the real extractor runs and per-page emissions collapse to one
+    weighted edge each with support, distinct-page count, and
+    first/last seen dates."""
+    from ontoemma_spark.extract.triples import extract_triples
+    from ontoemma_spark.operators.graph import weighted_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    w = lambda m: F.concat(F.lit("w"), (F.col("doc_id") % m).cast("string"))  # noqa: E731
+    base = F.concat(
+        w(7), F.lit(" is a "), w(11), F.lit(". "),
+        w(5), F.lit(" is part of "), w(13), F.lit("."),
+    )
+    # every 3rd page repeats its first sentence -> support > n_pages
+    # for those triples (same page, two emissions)
+    pages = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(base, F.lit(" "), w(7), F.lit(" is a "), w(11), F.lit(".")),
+        ).otherwise(base).alias("text"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 37).cast("int")
+        ).alias("ts"),
+    )
+    edges = extract_triples(pages).join(pages.select("url", "ts"), "url")
+    out = weighted_edges(
+        edges, key_cols=("subj", "pred", "obj"), page_col="url", ts_col="ts"
+    )
+    return out.select(
+        "subj", "pred", "obj",
+        F.col("support").cast("bigint").alias("support"),
+        F.date_format("first_seen", "yyyy-MM-dd").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd").alias("last_seen"),
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+    )
+
+
+SQL_KG_EDGE_WEIGHTS = """
+WITH pages AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id,
+         'w' || CAST(doc_id % 7 AS VARCHAR) AS w1,
+         'w' || CAST(doc_id % 11 AS VARCHAR) AS w2,
+         'w' || CAST(doc_id % 5 AS VARCHAR) AS w3,
+         'w' || CAST(doc_id % 13 AS VARCHAR) AS w4,
+         DATE '2024-01-01' + CAST(doc_id % 37 AS INTEGER) AS ts
+  FROM documents
+), edges AS (
+  SELECT url, w1 AS subj, 'is_a' AS pred, w2 AS obj, ts FROM pages
+  UNION ALL
+  SELECT url, w3 AS subj, 'part_of' AS pred, w4 AS obj, ts FROM pages
+  UNION ALL
+  SELECT url, w1 AS subj, 'is_a' AS pred, w2 AS obj, ts FROM pages
+  WHERE doc_id % 3 = 0
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS support,
+       strftime(min(ts), '%Y-%m-%d') AS first_seen,
+       strftime(max(ts), '%Y-%m-%d') AS last_seen,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+FROM edges
+GROUP BY subj, pred, obj
+"""
+
+
+# 17h. entity_pmi — co-occurrence PMI edge weighting
+_PMI_MAX_PER_DOC = 4
+_PMI_MIN_PAIR = 2
+
+
+def q_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence PMI (graph.entity_cooccurrence_pmi):
+    per-doc entity sets are the first 6 text tokens, capped at 4
+    entities per doc (exercising the fan-out guard), pairs seen < 2
+    times pruned. The twin replays the identical cap/marginal/pair
+    algebra in SQL."""
+    from ontoemma_spark.operators.graph import entity_cooccurrence_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    mentions = docs.select(
+        "doc_id",
+        F.explode(F.slice(F.split(F.col("text"), " "), 1, 6)).alias("entity"),
+    )
+    out = entity_cooccurrence_pmi(
+        mentions, doc_col="doc_id", ent_col="entity",
+        max_per_doc=_PMI_MAX_PER_DOC, min_pair_count=_PMI_MIN_PAIR,
+    )
+    return out.select(
+        "ent_a", "ent_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round("pmi", 6).alias("pmi"),
+    )
+
+
+SQL_ENTITY_PMI = f"""
+WITH ents AS (
+  SELECT DISTINCT doc_id, entity FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')[1:6]) AS entity
+    FROM documents
+  )
+), capped AS (
+  SELECT doc_id, entity FROM (
+    SELECT doc_id, entity,
+           row_number() OVER (PARTITION BY doc_id ORDER BY entity) AS rk
+    FROM ents
+  ) WHERE rk <= {_PMI_MAX_PER_DOC}
+), n_total AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM capped
+), marginals AS (
+  SELECT entity, count(*) AS n_ent FROM capped GROUP BY entity
+), pairs AS (
+  SELECT a.entity AS ent_a, b.entity AS ent_b, count(*) AS n_ab
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_PAIR}
+)
+SELECT p.ent_a, p.ent_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       round(ln(p.n_ab * (SELECT n_docs FROM n_total)
+                / (ma.n_ent * mb.n_ent)), 6) AS pmi
+FROM pairs p
+JOIN marginals ma ON ma.entity = p.ent_a
+JOIN marginals mb ON mb.entity = p.ent_b
+"""
+
+
+# 17i. anchor_profile — per-target anchor-text profiles
+def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph anchor-text aggregation (textstats.anchor_text_profile):
+    links synthesized as (dst_host = site{doc_id%23}, anchor = first 4
+    text tokens); per-host top-3 anchor tokens by count with
+    lexicographic tie-break."""
+    from ontoemma_spark.operators.textstats import anchor_text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    links = docs.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 23).cast("string")).alias("dst_host"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ").alias("anchor_text"),
+    )
+    out = anchor_text_profile(links, top_k=3)
+    return out.select(
+        "dst", "token",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_ANCHOR_PROFILE = """
+WITH links AS (
+  SELECT 'site' || CAST(doc_id % 23 AS VARCHAR) AS dst,
+         array_to_string(string_split(text, ' ')[1:4], ' ') AS anchor
+  FROM documents
+), toks AS (
+  SELECT dst, token FROM (
+    SELECT dst, unnest(string_split_regex(lower(anchor), '[^a-z0-9]+')) AS token
+    FROM links
+  ) WHERE token <> ''
+), counts AS (
+  SELECT dst, token, count(*) AS n FROM toks GROUP BY dst, token
+)
+SELECT dst, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT dst, token, n,
+         row_number() OVER (PARTITION BY dst ORDER BY n DESC, token) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -4479,7 +4690,8 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the new r5 queries (bloom_url_seen,
+    # Front block as of r5: the new r5 queries (bloom_gated_dedup,
+    # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
     # mesh_load, last driver-green r1-r3), then the three r4 reds whose
@@ -4487,6 +4699,10 @@ QUERIES: dict[str, callable] = {
     # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
     # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
+    "bloom_gated_dedup": q_bloom_gated_dedup,
+    "kg_edge_weights": q_kg_edge_weights,
+    "entity_pmi": q_entity_pmi,
+    "anchor_profile": q_anchor_profile,
     "bloom_url_seen": q_bloom_url_seen,
     "lsh_hot_band_cap": q_lsh_hot_band_cap,
     "dedup_exact": q_dedup_exact,
@@ -4578,6 +4794,10 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bloom_gated_dedup": SQL_BLOOM_GATED_DEDUP,
+    "kg_edge_weights": SQL_KG_EDGE_WEIGHTS,
+    "entity_pmi": SQL_ENTITY_PMI,
+    "anchor_profile": SQL_ANCHOR_PROFILE,
     "bloom_url_seen": SQL_BLOOM_URL_SEEN,
     "lsh_hot_band_cap": SQL_LSH_HOT_BAND_CAP,
     "kb_normalize": SQL_KB_NORMALIZE,

@@ -163,3 +163,73 @@ def test_pagerank_hand_cases(spark):
     r2 = sorted((r["node"], round(r["rank"], 10))
                 for r in pagerank(big.repartition(7), iterations=3).collect())
     assert r1 == r2
+
+
+def test_weighted_edges_closed_form(spark):
+    from ontoemma_spark.operators.graph import weighted_edges
+
+    edges = spark.createDataFrame(
+        [
+            # triple T1 on page p1 twice (two sentences), p2 once
+            ("a", "is_a", "b", "p1", 1),
+            ("a", "is_a", "b", "p1", 3),
+            ("a", "is_a", "b", "p2", 2),
+            # triple T2 once
+            ("c", "part_of", "d", "p1", 9),
+        ],
+        ["subject_id", "relation_type", "object_id", "url", "ts"],
+    )
+    got = {
+        (r["subject_id"], r["relation_type"], r["object_id"]): r
+        for r in weighted_edges(edges, ts_col="ts").collect()
+    }
+    t1 = got[("a", "is_a", "b")]
+    assert (t1["support"], t1["n_pages"], t1["first_seen"], t1["last_seen"]) == (3, 2, 1, 3)
+    t2 = got[("c", "part_of", "d")]
+    assert (t2["support"], t2["n_pages"]) == (1, 1)
+
+
+def test_entity_pmi_cap_and_prune(spark):
+    import math
+
+    from ontoemma_spark.operators.graph import entity_cooccurrence_pmi
+
+    rows = (
+        # docs 1,2: {a, b} -> n_ab=2
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b")]  # dup mention collapses
+        # doc 3: entities a..e with cap 3 -> only {a,b,c} pair up
+        + [(3, e) for e in ["a", "b", "c", "d", "e"]]
+        # doc 4: singleton pair {x, y} pruned by min_pair_count=2
+        + [(4, "x"), (4, "y")]
+    )
+    m = spark.createDataFrame(rows, ["doc_id", "entity"])
+    out = {
+        (r["ent_a"], r["ent_b"]): r
+        for r in entity_cooccurrence_pmi(m, max_per_doc=3, min_pair_count=2).collect()
+    }
+    assert ("x", "y") not in out          # pruned
+    assert ("a", "d") not in out          # d capped away in doc 3
+    ab = out[("a", "b")]
+    # N=4 docs, n_a=3 (docs 1,2,3), n_b=3, n_ab=3
+    assert ab["n_ab"] == 3
+    assert abs(ab["pmi"] - math.log(3 * 4 / (3 * 3))) < 1e-9
+
+
+def test_anchor_profile_topk_and_ties(spark):
+    from ontoemma_spark.operators.textstats import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [
+            ("h1", "Best Shoes"), ("h1", "best shoes!"), ("h1", "cheap shoes"),
+            ("h2", "one"),
+        ],
+        ["dst_host", "anchor_text"],
+    )
+    got = {
+        (r["dst"], r["rank"]): (r["token"], r["n"])
+        for r in anchor_text_profile(links, top_k=2).collect()
+    }
+    assert got[("h1", 1)] == ("shoes", 3)
+    assert got[("h1", 2)] == ("best", 2)      # beats 'cheap' (n=2 vs 1)
+    assert ("h1", 3) not in got               # top_k honored
+    assert got[("h2", 1)] == ("one", 1)

@@ -505,3 +505,34 @@ def test_bloom_probe_plan_is_relational(spark):
     plan = bloom_probe(batch, state)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_gated_dedup_exact_under_forced_fps(spark):
+    """The two-tier gate's output must be EXACT membership even when
+    the bloom is saturated: m_bits=64 with 40 keys guarantees false
+    positives, and every one must be resolved by the confirm join.
+    Also: fresh rows (maybe_seen=false) are correct by the no-false-
+    negative property alone."""
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.dedup import bloom_gated_dedup, bloom_probe, bloom_state
+
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], ["key"]
+    )
+    batch = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(80)], ["doc_id", "key"]
+    )
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in bloom_gated_dedup(batch, corpus, m_bits=64, k=2).collect()
+    }
+    assert len(got) == 80
+    for i in range(80):
+        assert got[i] == (i < 40), i
+    # sanity: the tiny filter really does fire false positives, so the
+    # confirm join was exercised (not vacuously green)
+    state = bloom_state(corpus, m_bits=64, k=2)
+    probed = bloom_probe(batch, state, m_bits=64, k=2)
+    n_maybe = probed.filter(F.col("maybe_seen")).count()
+    assert n_maybe > 40, "expected forced false positives at m_bits=64"
