@@ -326,3 +326,55 @@ def entity_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def transitive_ancestors(
+    edges: DataFrame,
+    src: str = "child",
+    dst: str = "parent",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Bounded transitive closure over a hierarchy: (node, ancestor,
+    depth) with depth = BFS distance (minimal hop count). The ontology
+    subsumption rollup — "all is_a ancestors of every concept" — that
+    KG consumers ask of the materialized graph (the reference walks
+    relations breadth-first per entity in _get_region_around_ent,
+    emma/OntoEmma.py:452-478; this is the whole-graph set-at-a-time
+    equivalent, like connected_components is for its match graph).
+
+    Frontier BFS, one equi-join per level: frontier_{d+1} = frontier_d
+    ⋈ edges, anti-joined against the accumulated closure so each
+    (node, ancestor) pair is emitted at its FIRST (= minimal) depth —
+    this also terminates cycles without a visited-per-path structure.
+    Per-level localCheckpoint truncates the union lineage (the CC
+    discipline); the early-exit count on the checkpointed frontier is
+    one cheap job per level. Depth is bounded by `max_depth`, so the
+    worst case is max_depth joins; real ontology hierarchies are
+    shallow (MeSH ~13, SNOMED ~30), and the closure's output size
+    |nodes| x avg-ancestors is the true cost driver, not the rounds."""
+    base = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("ancestor"))
+        .filter(F.col("node") != F.col("ancestor"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hop = base.select(
+        F.col("node").alias("_via"), F.col("ancestor").alias("_anc")
+    )
+    closure = base.withColumn("depth", F.lit(1))
+    frontier = closure
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(hop, frontier["ancestor"] == hop["_via"])
+            .select("node", F.col("_anc").alias("ancestor"))
+            .filter(F.col("node") != F.col("ancestor"))
+            .distinct()
+            .join(closure.select("node", "ancestor"), ["node", "ancestor"], "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return closure

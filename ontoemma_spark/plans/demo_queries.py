@@ -1038,6 +1038,52 @@ FROM (
 """
 
 
+# 17j. taxonomy_closure — bounded transitive ancestors over a hierarchy
+def q_taxonomy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology subsumption rollup (graph.transitive_ancestors): a
+    binary-tree is_a hierarchy (node i -> parent i//2) synthesized from
+    document ids; the closure lists every ancestor of every node with
+    its BFS depth. The twin is DuckDB's recursive CTE with min-depth
+    grouping — same semantics, declarative recursion instead of the
+    frontier loop."""
+    from ontoemma_spark.operators.graph import transitive_ancestors
+
+    docs = _t(spark, sf_dir, "documents")
+    i = (F.col("doc_id") % 200).cast("bigint")
+    edges = (
+        docs.select(i.alias("i"))
+        .filter(F.col("i") >= 1)
+        .distinct()
+        .select(
+            F.concat(F.lit("n"), F.col("i").cast("string")).alias("child"),
+            F.concat(F.lit("n"), F.floor(F.col("i") / 2).cast("string")).alias("parent"),
+        )
+    )
+    out = transitive_ancestors(edges, max_depth=12)
+    return out.select(
+        "node", "ancestor", F.col("depth").cast("bigint").alias("depth")
+    )
+
+
+SQL_TAXONOMY_CLOSURE = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT doc_id % 200 AS i FROM documents WHERE doc_id % 200 >= 1
+), edges AS (
+  SELECT 'n' || CAST(i AS VARCHAR) AS child,
+         'n' || CAST(i // 2 AS VARCHAR) AS parent
+  FROM nodes
+), anc AS (
+  SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+  UNION
+  SELECT a.node, e.parent, a.depth + 1
+  FROM anc a JOIN edges e ON a.ancestor = e.child
+  WHERE a.depth < 12 AND a.node <> e.parent
+)
+SELECT node, ancestor, CAST(min(depth) AS BIGINT) AS depth
+FROM anc GROUP BY node, ancestor
+"""
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -4690,7 +4736,8 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the new r5 queries (bloom_gated_dedup,
+    # Front block as of r5: the new r5 queries (taxonomy_closure,
+    # bloom_gated_dedup,
     # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
@@ -4699,6 +4746,7 @@ QUERIES: dict[str, callable] = {
     # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
     # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
+    "taxonomy_closure": q_taxonomy_closure,
     "bloom_gated_dedup": q_bloom_gated_dedup,
     "kg_edge_weights": q_kg_edge_weights,
     "entity_pmi": q_entity_pmi,
@@ -4794,6 +4842,7 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "taxonomy_closure": SQL_TAXONOMY_CLOSURE,
     "bloom_gated_dedup": SQL_BLOOM_GATED_DEDUP,
     "kg_edge_weights": SQL_KG_EDGE_WEIGHTS,
     "entity_pmi": SQL_ENTITY_PMI,

@@ -233,3 +233,35 @@ def test_anchor_profile_topk_and_ties(spark):
     assert got[("h1", 2)] == ("best", 2)      # beats 'cheap' (n=2 vs 1)
     assert ("h1", 3) not in got               # top_k honored
     assert got[("h2", 1)] == ("one", 1)
+
+
+def test_transitive_ancestors_chain_and_dag(spark):
+    from ontoemma_spark.operators.graph import transitive_ancestors
+
+    # chain a->b->c->d plus a DAG shortcut a->c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        ["child", "parent"],
+    )
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in transitive_ancestors(edges).collect()
+    }
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1          # shortcut wins over b-hop (min depth)
+    assert got[("a", "d")] == 2          # via the shortcut, not 3 via b
+    assert got[("b", "d")] == 2
+    assert ("d", "a") not in got         # directed
+    # bounded depth stops the walk
+    capped = {
+        (r["node"], r["ancestor"])
+        for r in transitive_ancestors(edges, max_depth=1).collect()
+    }
+    assert capped == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")}
+    # a 2-cycle terminates and never emits self-ancestry
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")], ["child", "parent"])
+    cgot = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in transitive_ancestors(cyc, max_depth=6).collect()
+    }
+    assert cgot == {("x", "y"): 1, ("y", "x"): 1}
