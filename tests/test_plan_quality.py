@@ -331,3 +331,88 @@ def test_key_skew_uses_take_ordered(spark):
     plan = _plan(key_skew_stats(docs, "source", top_n=5))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_weighted_edges_partial_agg_no_window(spark):
+    """Edge consolidation must partial-aggregate map-side (support/min/
+    max combine in the scan stage) and never fall back to a window —
+    a head triple's emissions must not serialize on one reducer."""
+    from ontoemma_spark.operators.graph import weighted_edges
+
+    edges = spark.range(1000).select(
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("subject_id"),
+        F.lit("is_a").alias("relation_type"),
+        F.concat(F.lit("o"), (F.col("id") % 7).cast("string")).alias("object_id"),
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("url"),
+        (F.col("id") % 37).alias("ts"),
+    )
+    plan = _plan(weighted_edges(edges, ts_col="ts"))
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_entity_pmi_broadcast_marginals_no_cartesian(spark):
+    """The pair table joins marginals + the scalar N via broadcast;
+    the only wide joins are the doc-keyed self-join (equi) and the
+    aggregations. No cartesian anywhere despite the crossJoin(N):
+    a broadcast 1-row side plans as BroadcastNestedLoop at worst —
+    assert it is exactly the 1-row N side if present."""
+    from ontoemma_spark.operators.graph import entity_cooccurrence_pmi
+
+    m = spark.range(2000).select(
+        (F.col("id") % 100).alias("doc_id"),
+        F.concat(F.lit("e"), (F.col("id") % 23).cast("string")).alias("entity"),
+    )
+    out = entity_cooccurrence_pmi(m, max_per_doc=8, min_pair_count=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan  # only the 1-row N
+    assert "BroadcastHashJoin" in plan, plan  # marginals
+
+
+def test_anchor_profile_counts_before_window(spark):
+    """The top-k window must run AFTER the (dst, token) aggregation —
+    windowing the raw exploded link-token stream would sort the full
+    link table per dst. Assert the plan has a partial hash aggregate
+    and exactly one window, and the window's child is the aggregate
+    side (no window directly over the generator)."""
+    from ontoemma_spark.operators.textstats import anchor_text_profile
+
+    links = spark.range(500).select(
+        F.concat(F.lit("h"), (F.col("id") % 11).cast("string")).alias("dst_host"),
+        F.lit("alpha beta gamma").alias("anchor_text"),
+    )
+    plan = _plan(anchor_text_profile(links))
+    assert plan.count("Window [") == 1, plan
+    assert "partial_count" in plan, plan
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window [")
+    # executed plans print top-down: Window above the aggregate, which
+    # is above the explode Generate
+    assert win_pos < agg_pos < gen_pos, plan
+    # bonus shape Spark gives row_number()<=k: a PARTIAL WindowGroupLimit
+    # below the exchange — the per-dst top-k truncates map-side too
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_gated_dedup_fresh_branch_skips_corpus_join(spark):
+    """The union's fresh branch must contain NO join against the corpus
+    key table — only the maybe_seen branch pays the exact confirm. The
+    plan therefore has exactly one join keyed on the dedup key column;
+    everything else is the (broadcastable) bloom word-table join."""
+    from ontoemma_spark.operators.dedup import bloom_gated_dedup
+
+    key = F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    corpus = spark.range(100).select(key)
+    batch = spark.range(50).select(F.col("id").alias("doc_id"), key)
+    plan = _plan(bloom_gated_dedup(batch, corpus))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # joins keyed on the string dedup key: exactly the ONE confirm join
+    # (word_idx joins are bigint-keyed and don't mention [key)
+    n_key_joins = sum(
+        1 for line in plan.splitlines()
+        if "Join" in line and "key#" in line and "word_idx" not in line
+    )
+    assert n_key_joins == 1, plan
