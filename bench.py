@@ -76,6 +76,13 @@ EXTENDED = [
     # sparse relational Bloom membership probe
     "lsh_hot_band_cap",
     "bloom_url_seen",
+    # round 5 (late): KG consolidation + web-graph + closure + the
+    # two-tier bloom ingest gate
+    "kg_edge_weights",
+    "entity_pmi",
+    "anchor_profile",
+    "taxonomy_closure",
+    "bloom_gated_dedup",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -227,15 +227,18 @@ def weighted_edges(
     crawl emits the same popular triple from millions of pages; the
     node/edge tables store it once, weighted).
 
-    Scale: `support`/min/max are algebraic — Spark's hash aggregate
-    partial-applies them map-side, so the exchange carries one row per
-    (partition, triple), and a head triple ("Paris is-a city") costs
-    ~n_partitions rows, not n_pages. The distinct-page count is NOT
-    algebraic, so it is computed as distinct-then-count: the distinct
-    shuffles by (triple, page) — a head triple's pages spread across
-    the whole cluster instead of one reducer (the same skew-spreading
-    shape as a salted two-phase agg, without the salt bookkeeping) —
-    and the following count per triple is map-side combinable again.
+    Scale: ONE aggregate, no self-join. `support`/min/max are
+    algebraic — the hash aggregate partial-applies them map-side, so
+    the exchange carries one row per (partition, triple) and a head
+    triple ("Paris is-a city") costs ~n_partitions rows, not n_pages.
+    The distinct-page count rides the same aggregate as
+    count_distinct: Catalyst rewrites it into the Expand + two-phase
+    shape whose FIRST phase keys on (triple, page) — a head triple's
+    pages spread across the cluster instead of one reducer (the same
+    skew-spreading property as distinct-then-count) — and whose second
+    phase is map-side combinable. An earlier two-aggregates-plus-join
+    formulation produced the same rows with an extra exchange, two
+    sorts, and a SortMergeJoin; one grouped pass replaces all of it.
     """
     keys = list(key_cols)
     aggs = [F.count(F.lit(1)).alias("support")]
@@ -244,14 +247,8 @@ def weighted_edges(
             F.min(ts_col).alias("first_seen"),
             F.max(ts_col).alias("last_seen"),
         ]
-    support = edges.groupBy(*keys).agg(*aggs)
-    pages = (
-        edges.select(*keys, page_col)
-        .distinct()
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_pages"))
-    )
-    return support.join(pages, keys)
+    aggs.append(F.count_distinct(F.col(page_col)).alias("n_pages"))
+    return edges.groupBy(*keys).agg(*aggs)
 
 
 def entity_cooccurrence_pmi(
