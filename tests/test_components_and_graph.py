@@ -265,3 +265,49 @@ def test_transitive_ancestors_chain_and_dag(spark):
         for r in transitive_ancestors(cyc, max_depth=6).collect()
     }
     assert cgot == {("x", "y"): 1, ("y", "x"): 1}
+
+
+def test_transitive_ancestors_random_graphs_vs_python_bfs(spark):
+    """Seeded random digraphs (including cycles and self-loops) vs an
+    independent per-node Python BFS spec: identical (node, ancestor,
+    min-depth) closures."""
+    import random
+    from collections import deque
+
+    from ontoemma_spark.operators.graph import transitive_ancestors
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 14)
+        edges = sorted({
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+            for _ in range(rng.randint(4, 2 * n))
+        })
+        adj = {}
+        for c, p in edges:
+            if c != p:
+                adj.setdefault(c, set()).add(p)
+        max_depth = rng.choice([2, 3, 10])
+
+        expected = {}
+        for start in {c for c, _ in edges} | {p for _, p in edges}:
+            dist = {start: 0}
+            q = deque([start])
+            while q:
+                u = q.popleft()
+                if dist[u] >= max_depth:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            for node, d in dist.items():
+                if node != start and d >= 1:
+                    expected[(start, node)] = d
+
+        df = spark.createDataFrame(edges, ["child", "parent"])
+        got = {
+            (r["node"], r["ancestor"]): r["depth"]
+            for r in transitive_ancestors(df, max_depth=max_depth).collect()
+        }
+        assert got == expected, (trial, edges, max_depth)
