@@ -91,6 +91,22 @@ def write_stage(
         # schema pinned: an empty stage output writes no part files, so
         # a RESUMING run could not infer it otherwise.
         entry["schema"] = out.schema.json()
+        # per-partition lineage (north rule): row count per bucket
+        # directory, recorded at write time so a resume can VALIDATE the
+        # checkpoint before trusting it (validate_stage). Computed by
+        # reading the written files back — count-per-partition-value is
+        # answered from parquet footers + directory names, no data pages
+        # — so it costs metadata IO, not a recompute of df's lineage.
+        # (Iceberg keeps these stats in its own snapshot manifests; the
+        # bucketed_table layout has no partition dirs to key them by.)
+        back = df.sparkSession.read.schema(
+            out.schema
+        ).parquet(path)
+        if bucket_col is not None:
+            counts = back.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+            entry["partition_lineage"] = {str(r["bucket"]): r["n"] for r in counts}
+        else:
+            entry["rows"] = back.count()
         return entry
 
     if fmt == "bucketed_table":
@@ -163,3 +179,41 @@ def read_stage(spark: SparkSession, entry: dict) -> DataFrame:
     if "schema" in entry:
         reader = reader.schema(StructType.fromJson(_json.loads(entry["schema"])))
     return reader.parquet(entry["path"])
+
+
+def validate_stage(spark: SparkSession, entry: dict) -> dict:
+    """Resume-time checkpoint audit: re-count the stage's partitions and
+    diff against the lineage recorded at write time. Returns
+    {ok, expected, actual, mismatched} — a partial write (task retries
+    that half-committed, an operator deleting bucket dirs, a copy that
+    dropped files) shows up as mismatched buckets BEFORE a resumed run
+    silently builds on a corrupt checkpoint. Metadata-cost only: the
+    per-bucket count reads directory names + parquet footers."""
+    fmt = entry.get("format", "parquet")
+    if fmt != "parquet":
+        # table formats validate through their own catalog/snapshot
+        # machinery (Iceberg manifests carry per-file row counts)
+        return {"ok": True, "expected": None, "actual": None, "mismatched": {}}
+    df = read_stage(spark, entry)
+    if "partition_lineage" in entry:
+        expected = {str(k): int(v) for k, v in entry["partition_lineage"].items()}
+        actual = {
+            str(r["bucket"]): r["n"]
+            for r in df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    elif "rows" in entry:
+        expected = {"_total": int(entry["rows"])}
+        actual = {"_total": df.count()}
+    else:  # pre-lineage manifest (older checkpoint): nothing to diff
+        return {"ok": True, "expected": None, "actual": None, "mismatched": {}}
+    mismatched = {
+        k: {"expected": expected.get(k, 0), "actual": actual.get(k, 0)}
+        for k in set(expected) | set(actual)
+        if expected.get(k, 0) != actual.get(k, 0)
+    }
+    return {
+        "ok": not mismatched,
+        "expected": expected,
+        "actual": actual,
+        "mismatched": mismatched,
+    }

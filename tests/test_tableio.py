@@ -115,3 +115,43 @@ def test_bucketed_table_incremental_append(spark):
             for stage in man["stages"].values():
                 if "table" in stage:
                     spark.sql(f"DROP TABLE IF EXISTS {stage['table']}")
+
+
+def test_partition_lineage_recorded_and_validated(spark, tmp_path):
+    """write_stage records per-bucket row counts; validate_stage passes
+    on an intact checkpoint and pinpoints a tampered bucket."""
+    import shutil
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark import tableio
+
+    df = spark.range(200).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("subject_id"),
+        (F.col("id") % 9).alias("v"),
+    )
+    out = str(tmp_path / "stage_out")
+    entry = tableio.write_stage(df, out, "edges", bucket_col="subject_id", n_buckets=8)
+    assert "partition_lineage" in entry
+    assert sum(entry["partition_lineage"].values()) == 200
+    rep = tableio.validate_stage(spark, entry)
+    assert rep["ok"] and rep["mismatched"] == {}
+
+    # tamper: drop one bucket directory entirely
+    victim = sorted(entry["partition_lineage"])[0]
+    shutil.rmtree(os.path.join(entry["path"], f"bucket={victim}"))
+    rep2 = tableio.validate_stage(spark, entry)
+    assert not rep2["ok"]
+    assert victim in rep2["mismatched"]
+    assert rep2["mismatched"][victim]["actual"] == 0
+
+    # unbucketed stages record a total-row lineage
+    entry2 = tableio.write_stage(df, out, "flat")
+    assert entry2["rows"] == 200
+    assert tableio.validate_stage(spark, entry2)["ok"]
+    # tamper: delete one part file
+    parts = glob.glob(os.path.join(entry2["path"], "part-*"))
+    os.remove(parts[0])
+    assert not tableio.validate_stage(spark, entry2)["ok"]
