@@ -83,6 +83,12 @@ EXTENDED = [
     "anchor_profile",
     "taxonomy_closure",
     "bloom_gated_dedup",
+    # round 5 (later): web-graph hub/authority ranking, LPA communities,
+    # predicate canonicalization, incremental edge-table merge
+    "hits_scores",
+    "label_communities",
+    "triple_canonicalize",
+    "kg_upsert",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

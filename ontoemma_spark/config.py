@@ -43,6 +43,35 @@ SYMMETRIC_RELATIONS = {
     "part_of": "has_part", "has_part": "part_of",
 }
 
+# Open-predicate canonicalization (KG materialize stage; the surface
+# forms are the ones the extract-stage patterns emit plus common crawl
+# variants — generalizes the reference's closed relation-label sets
+# above to extracted predicate text)
+PREDICATE_ALIASES = {
+    "is_an": "is_a",
+    "is": "is_a",
+    "isa": "is_a",
+    "type_of": "is_a",
+    "kind_of": "is_a",
+    "part_of": "is_part_of",
+    "belongs_to": "is_part_of",
+    "member_of": "is_part_of",
+    "located_in": "is_in",
+    "lives_in": "is_in",
+    "based_in": "is_in",
+    "works_at": "works_for",
+    "employed_by": "works_for",
+}
+# canonical-direction fold: surface → the forward predicate whose
+# (subj, obj) is the REVERSE of this one's
+PREDICATE_INVERSES = {
+    "has_part": "is_part_of",
+    "has_member": "is_part_of",
+    "contains": "is_in",
+    "has_type": "is_a",
+    "employs": "works_for",
+}
+
 # Neighborhood BFS depth (emma/constants.py:79)
 NEIGHBORHOOD_GENERATION_STEPS = 2
 

@@ -375,3 +375,256 @@ def transitive_ancestors(
         closure = closure.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return closure
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    dedupe: bool = True,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a directed edge list
+    — the hub/authority complement to `pagerank` for the web-graph side
+    of the crawl (beyond-reference graph analytics; no reference
+    counterpart).
+
+      a_k+1(v) = Σ_{(u,v)∈E} h_k(u)      h_k+1(u) = Σ_{(u,v)∈E} a_k+1(v)
+
+    Per-iteration global normalization only rescales both vectors by a
+    scalar, and every later iterate is linear in the previous one — so
+    for a FIXED iteration count the normalized result equals the
+    unnormalized iterate normalized ONCE at the end. That keeps each
+    round a pure two-join/two-agg dataflow (no driver-side scalar
+    collect between rounds, no broken composed DAG) and makes the SQL
+    twin an exact unroll. Doubles hold the growth: values reach at most
+    (max_deg)^(2k), ~1e30 for deg 1000 / k=5, far inside double range.
+    Returns (node, authority, hub), each vector sum-normalized to 1.
+
+    Scale shape: per iteration ONE equi join (hubs ⋈ edges on src) +
+    ONE map-side-combinable sum for authorities, then the mirror pair
+    for hubs; the edge table is persisted once and reused every round.
+    Same composed-DAG discipline as `pagerank` (checkpoint_every)."""
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedupe:
+        e = e.distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        hubs = nodes.withColumn("hub", F.lit(1.0))
+        auths = None
+        for it in range(iterations):
+            a = (
+                e.join(hubs, e["src"] == hubs["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("s"))
+            )
+            auths = nodes.join(a, nodes["node"] == a["dst"], "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("authority")
+            )
+            h = (
+                e.join(auths, e["dst"] == auths["node"])
+                .groupBy("src")
+                .agg(F.sum("authority").alias("s"))
+            )
+            hubs = nodes.join(h, nodes["node"] == h["src"], "left").select(
+                "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("hub")
+            )
+            if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+                hubs = hubs.localCheckpoint(eager=True)
+                auths = auths.localCheckpoint(eager=True)
+        # materialize the whole iteration DAG ONCE; the normalization
+        # sums and the returned table both read the checkpointed rows
+        # (an un-checkpointed agg().collect() would execute the full DAG
+        # for the sums and then AGAIN for the result — measured 2x)
+        out = auths.join(hubs, "node").localCheckpoint(eager=True)
+        # single end normalization (see above): two scalar sums in ONE
+        # pass over the small (node, authority, hub) table
+        sums = out.agg(
+            F.sum("authority").alias("sa"), F.sum("hub").alias("sh")
+        ).collect()[0]
+        sa = sums["sa"] or 1.0
+        sh = sums["sh"] or 1.0
+        return out.select(
+            "node",
+            (F.col("authority") / F.lit(sa)).alias("authority"),
+            (F.col("hub") / F.lit(sh)).alias("hub"),
+        )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection over an undirected edge list — pass a
+    symmetrized table; each directed row (u, v) means "v hears u's
+    label". Deterministic variant: every node starts labeled with its
+    own id; each round it adopts the most frequent label among its
+    neighbors, ties broken by the lexicographically smallest label;
+    isolated-in-this-direction nodes keep their label. Fixed iteration
+    count (synchronous LPA on bipartite-ish structures can oscillate —
+    a bounded round count is the standard production guard and makes
+    the SQL twin an exact unroll). Returns (node, label).
+
+    Scale shape: per round ONE equi join (labels ⋈ edges on src) + ONE
+    (dst, label) count agg (map-side combinable — a community's votes
+    partial-aggregate before the exchange) + ONE per-node argmax via
+    min(struct(-cnt, label)) — no window, no sort. Head communities
+    skew the (dst, label) key no worse than the (dst) key AQE already
+    handles."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        labels = nodes.withColumn("label", F.col("node"))
+        for _ in range(iterations):
+            votes = (
+                e.join(labels, e["src"] == labels["node"])
+                .groupBy(F.col("dst"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            picked = (
+                votes.groupBy("dst")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                    ).alias("top")
+                )
+                .select(F.col("dst"), F.col("top.label").alias("new_label"))
+            )
+            labels = nodes.join(
+                picked, nodes["node"] == picked["dst"], "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
+            )
+        return labels.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
+def canonicalize_predicates(
+    triples: DataFrame,
+    alias_map: dict[str, str] | None = None,
+    inverse_map: dict[str, str] | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Predicate canonicalization for extracted triples — the
+    relation-normalization step between extraction and edge
+    consolidation (the KG-side analog of the reference's relation-type
+    normalization, kb_utils_refactor.py:425-456, generalized to open
+    predicate surface forms).
+
+    Three narrow rewrites, in order:
+      1. surface normalization: lower, trim, whitespace runs → '_'
+         ("Is  Part Of" → "is_part_of");
+      2. alias folding: a small curated surface→canonical map
+         ("part_of" → "is_part_of") applied as an in-row literal map
+         (create_map) — the alias vocabulary is curated and tiny, so it
+         compiles into the expression instead of costing a join;
+      3. inverse folding: predicates listed in `inverse_map` swap
+         subject and object and take the canonical forward form
+         ("has_part": B has_part A → A is_part_of B), so one relation
+         never materializes under two directions.
+
+    Everything is per-row (zero shuffle); dedup/weighting is the
+    caller's next step (`weighted_edges`). Extra columns pass through
+    unchanged — inverse folding swaps only the subj/obj cells."""
+    alias_map = alias_map if alias_map is not None else config.PREDICATE_ALIASES
+    inverse_map = (
+        inverse_map if inverse_map is not None else config.PREDICATE_INVERSES
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col(pred))), r"\s+", "_")
+    if alias_map:
+        amap = F.create_map(*[F.lit(x) for kv in alias_map.items() for x in kv])
+        norm = F.coalesce(amap[norm], norm)
+    if inverse_map:
+        imap = F.create_map(*[F.lit(x) for kv in inverse_map.items() for x in kv])
+        is_inv = imap[norm].isNotNull()
+        out = triples.withColumn("_cpred", norm).select(
+            *[
+                F.when(is_inv, F.col(obj)).otherwise(F.col(subj)).alias(subj)
+                if c == subj
+                else F.when(is_inv, F.col(subj)).otherwise(F.col(obj)).alias(obj)
+                if c == obj
+                else F.coalesce(imap[F.col("_cpred")], F.col("_cpred")).alias(pred)
+                if c == pred
+                else F.col(c)
+                for c in triples.columns
+            ]
+        )
+        return out
+    return triples.withColumn(pred, norm)
+
+
+def upsert_edges(
+    current: DataFrame,
+    batch: DataFrame,
+    key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """Incremental KG edge merge: fold a new crawl batch's weighted
+    edges (the `weighted_edges` shape — support, n_pages, first_seen,
+    last_seen) into the standing edge table. The production ingest
+    shape at 10^12 pages: each crawl produces a batch table ~10^4×
+    smaller than the corpus-wide edge table; merging must never rescan
+    or re-aggregate the standing table's history.
+
+      support    := sum of both sides        (additive)
+      n_pages    := sum of both sides        (upper bound after the
+                    first merge — exact distinctness across batches
+                    would need sketch state per edge; documented)
+      first_seen := min(both)   last_seen := max(both)
+
+    Scale shape: ONE full-outer equi join on the triple key. When both
+    sides are written with tableio.write_stage bucketed by the same
+    key, the join is exchange-free on the (large) standing side; the
+    result is written back bucketed, so every subsequent merge stays
+    co-located. No window, no union-regroup over history."""
+    keys = list(key_cols)
+    c = current.select(
+        *keys, "support", "n_pages", "first_seen", "last_seen"
+    ).alias("c")
+    b = batch.select(
+        *keys, "support", "n_pages", "first_seen", "last_seen"
+    ).alias("b")
+    zero = F.lit(0).cast("long")
+    return c.join(b, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col("c.support"), zero)
+            + F.coalesce(F.col("b.support"), zero)
+        ).alias("support"),
+        (
+            F.coalesce(F.col("c.n_pages"), zero)
+            + F.coalesce(F.col("b.n_pages"), zero)
+        ).alias("n_pages"),
+        F.least(F.col("c.first_seen"), F.col("b.first_seen")).alias("first_seen"),
+        F.greatest(F.col("c.last_seen"), F.col("b.last_seen")).alias("last_seen"),
+    )

@@ -1084,6 +1084,278 @@ FROM anc GROUP BY node, ancestor
 """
 
 
+# 17k. hits_scores — hub/authority ranking over the directed web graph
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graph.hits, 5 iterations) over the
+    directed customer→supplier graph (same derivation as `pagerank`,
+    kept DIRECTED: customers only point, suppliers are only pointed
+    at, so the bipartite hub/authority split is visible in the
+    output). Normalization is a single end-of-run rescale (see the
+    operator docstring for why that equals per-round normalization at
+    a fixed iteration count), so the SQL twin is an exact unroll."""
+    from ontoemma_spark.operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(edges, iterations=5, dedupe=False)
+    return out.select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def _hits_sql(iterations: int = 5) -> str:
+    """Unrolled HITS twin: a_k from h_{k-1}, h_k from a_k, one final
+    sum-normalization; round-6 absorbs sum-order reassociation."""
+    parts = ["""
+WITH base_edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey % 3 = 0
+), nodes AS (
+  SELECT src AS node FROM base_edges UNION SELECT dst FROM base_edges
+), h0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes
+)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""", a{k} AS (
+  SELECT n.node, CAST(COALESCE(t.s, 0) AS DOUBLE) AS authority
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(h.hub) AS s
+    FROM base_edges e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst
+  ) t ON t.dst = n.node
+), h{k} AS (
+  SELECT n.node, CAST(COALESCE(t.s, 0) AS DOUBLE) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src, sum(a.authority) AS s
+    FROM base_edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+  ) t ON t.src = n.node
+)""")
+    parts.append(f""", joined AS (
+  SELECT a.node, a.authority, h.hub
+  FROM a{iterations} a JOIN h{iterations} h ON h.node = a.node
+), sums AS (
+  SELECT sum(authority) AS sa, sum(hub) AS sh FROM joined
+)
+SELECT node,
+       round(authority / (SELECT sa FROM sums), 6) AS authority,
+       round(hub / (SELECT sh FROM sums), 6) AS hub
+FROM joined""")
+    return "".join(parts)
+
+
+SQL_HITS_SCORES = _hits_sql()
+
+
+# 17l. label_communities — synchronous label propagation
+def q_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (graph.label_propagation, 4 rounds, most-frequent-neighbor label,
+    ties to the smallest label). Graph: 8 hub-and-spoke communities
+    over 200 nodes (spoke chains i→i+8, spoke→hub i→i%8) plus 7
+    hub-to-hub bridges, symmetrized — communities must survive the
+    bridges at a bounded round count. Twin unrolls the identical
+    vote/argmax rounds with a row_number window."""
+    from ontoemma_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    i = (F.col("doc_id") % 200).cast("bigint")
+    ids = docs.select(i.alias("i")).distinct()
+    n = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    chain = ids.filter(F.col("i") + 8 < 200).select(
+        n(F.col("i")).alias("src"), n(F.col("i") + 8).alias("dst")
+    )
+    spoke = ids.filter(F.col("i") >= 8).select(
+        n(F.col("i")).alias("src"), n(F.col("i") % 8).alias("dst")
+    )
+    bridge = ids.filter(F.col("i") < 7).select(
+        n(F.col("i")).alias("src"), n(F.col("i") + 1).alias("dst")
+    )
+    directed = chain.union(spoke).union(bridge)
+    und = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(und, iterations=4).select("node", "label")
+
+
+def _lpa_sql(iterations: int = 4) -> str:
+    parts = ["""
+WITH ids AS (
+  SELECT DISTINCT doc_id % 200 AS i FROM documents
+), directed AS (
+  SELECT 'n' || CAST(i AS VARCHAR) AS src, 'n' || CAST(i + 8 AS VARCHAR) AS dst
+  FROM ids WHERE i + 8 < 200
+  UNION ALL
+  SELECT 'n' || CAST(i AS VARCHAR), 'n' || CAST(i % 8 AS VARCHAR)
+  FROM ids WHERE i >= 8
+  UNION ALL
+  SELECT 'n' || CAST(i AS VARCHAR), 'n' || CAST(i + 1 AS VARCHAR)
+  FROM ids WHERE i < 7
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM directed UNION ALL SELECT dst, src FROM directed
+  )
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), l0 AS (
+  SELECT node, node AS label FROM nodes
+)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""", v{k} AS (
+  SELECT e.dst, l.label, count(*) AS cnt
+  FROM edges e JOIN l{k - 1} l ON l.node = e.src GROUP BY e.dst, l.label
+), p{k} AS (
+  SELECT dst, label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+), l{k} AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p{k} p ON p.dst = n.node
+)""")
+    parts.append(f"\nSELECT node, label FROM l{iterations}")
+    return "".join(parts)
+
+
+SQL_LABEL_COMMUNITIES = _lpa_sql()
+
+
+# 17m. triple_canonicalize — predicate normalization + inverse folding
+_CANON_PREDS = [
+    "Is  A", "is a", "part of", "has part",
+    "based in", "contains", "employs", "weird rel",
+]
+
+
+def q_triple_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate canonicalization (graph.canonicalize_predicates) then
+    edge consolidation: triples synthesized with eight surface
+    predicate variants — case/whitespace noise ('Is  A'), aliases
+    ('part of', 'based in'), inverses that must swap subject/object
+    ('has part', 'contains', 'employs'), and an unmapped tail
+    ('weird rel') — collapse to canonical weighted edges. The twin
+    replays the normalize/alias/inverse algebra as CASE rewrites."""
+    from ontoemma_spark.operators.graph import canonicalize_predicates, weighted_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = F.array(*[F.lit(p) for p in _CANON_PREDS])
+    triples = docs.select(
+        F.concat(F.lit("e"), (F.col("doc_id") % 17).cast("string")).alias("subj"),
+        F.element_at(preds, (F.col("doc_id") % 8).cast("int") + 1).alias("pred"),
+        F.concat(F.lit("e"), (F.col("doc_id") % 23).cast("string")).alias("obj"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    canon = canonicalize_predicates(triples)
+    out = weighted_edges(canon, key_cols=("subj", "pred", "obj"), page_col="url")
+    return out.select(
+        "subj", "pred", "obj",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+    )
+
+
+SQL_TRIPLE_CANONICALIZE = """
+WITH raw AS (
+  SELECT 'e' || CAST(doc_id % 17 AS VARCHAR) AS subj,
+         CASE doc_id % 8
+           WHEN 0 THEN 'Is  A' WHEN 1 THEN 'is a' WHEN 2 THEN 'part of'
+           WHEN 3 THEN 'has part' WHEN 4 THEN 'based in' WHEN 5 THEN 'contains'
+           WHEN 6 THEN 'employs' ELSE 'weird rel' END AS pred,
+         'e' || CAST(doc_id % 23 AS VARCHAR) AS obj,
+         'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), normed AS (
+  SELECT subj, regexp_replace(trim(lower(pred)), '\\s+', '_', 'g') AS norm,
+         obj, url
+  FROM raw
+), canon AS (
+  SELECT CASE WHEN norm IN ('has_part', 'contains', 'employs')
+              THEN obj ELSE subj END AS subj,
+         CASE norm
+           WHEN 'part_of' THEN 'is_part_of' WHEN 'based_in' THEN 'is_in'
+           WHEN 'has_part' THEN 'is_part_of' WHEN 'contains' THEN 'is_in'
+           WHEN 'employs' THEN 'works_for' ELSE norm END AS pred,
+         CASE WHEN norm IN ('has_part', 'contains', 'employs')
+              THEN subj ELSE obj END AS obj,
+         url
+  FROM normed
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+FROM canon GROUP BY subj, pred, obj
+"""
+
+
+# 17n. kg_upsert — incremental merge of a crawl batch into the edge table
+def q_kg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG edge merge (graph.upsert_edges): even doc_ids
+    are the standing edge table, odd doc_ids the new crawl batch; both
+    consolidate via weighted_edges, then ONE full-outer merge sums
+    support/n_pages and widens the seen window. The twin exploits the
+    merge's algebraic identity: merging two disjoint batches'
+    aggregates equals aggregating their union (page ids are globally
+    unique here, so even the distinct-page counts compose exactly)."""
+    from ontoemma_spark.operators.graph import upsert_edges, weighted_edges
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def tri(parity: int) -> DataFrame:
+        side = docs.filter(F.col("doc_id") % 2 == parity)
+        return side.select(
+            F.concat(F.lit("w"), (F.col("doc_id") % 7).cast("string")).alias("subj"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("is_a"))
+            .otherwise(F.lit("is_part_of")).alias("pred"),
+            F.concat(F.lit("w"), (F.col("doc_id") % 11).cast("string")).alias("obj"),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 37).cast("int")
+            ).alias("ts"),
+        )
+
+    current = weighted_edges(tri(0), key_cols=("subj", "pred", "obj"),
+                             page_col="url", ts_col="ts")
+    batch = weighted_edges(tri(1), key_cols=("subj", "pred", "obj"),
+                           page_col="url", ts_col="ts")
+    out = upsert_edges(current, batch)
+    return out.select(
+        "subj", "pred", "obj",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.date_format("first_seen", "yyyy-MM-dd").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd").alias("last_seen"),
+    )
+
+
+SQL_KG_UPSERT = """
+WITH tri AS (
+  SELECT 'w' || CAST(doc_id % 7 AS VARCHAR) AS subj,
+         CASE WHEN doc_id % 3 = 0 THEN 'is_a' ELSE 'is_part_of' END AS pred,
+         'w' || CAST(doc_id % 11 AS VARCHAR) AS obj,
+         'u' || CAST(doc_id AS VARCHAR) AS url,
+         DATE '2024-01-01' + CAST(doc_id % 37 AS INTEGER) AS ts
+  FROM documents
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+       strftime(min(ts), '%Y-%m-%d') AS first_seen,
+       strftime(max(ts), '%Y-%m-%d') AS last_seen
+FROM tri GROUP BY subj, pred, obj
+"""
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -4736,8 +5008,9 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the new r5 queries (taxonomy_closure,
-    # bloom_gated_dedup,
+    # Front block as of r5: the new r5 queries (hits_scores,
+    # label_communities, triple_canonicalize, kg_upsert,
+    # taxonomy_closure, bloom_gated_dedup,
     # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
@@ -4746,6 +5019,10 @@ QUERIES: dict[str, callable] = {
     # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
     # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
+    "hits_scores": q_hits_scores,
+    "label_communities": q_label_communities,
+    "triple_canonicalize": q_triple_canonicalize,
+    "kg_upsert": q_kg_upsert,
     "taxonomy_closure": q_taxonomy_closure,
     "bloom_gated_dedup": q_bloom_gated_dedup,
     "kg_edge_weights": q_kg_edge_weights,
@@ -4842,6 +5119,10 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "hits_scores": SQL_HITS_SCORES,
+    "label_communities": SQL_LABEL_COMMUNITIES,
+    "triple_canonicalize": SQL_TRIPLE_CANONICALIZE,
+    "kg_upsert": SQL_KG_UPSERT,
     "taxonomy_closure": SQL_TAXONOMY_CLOSURE,
     "bloom_gated_dedup": SQL_BLOOM_GATED_DEDUP,
     "kg_edge_weights": SQL_KG_EDGE_WEIGHTS,

@@ -311,3 +311,191 @@ def test_transitive_ancestors_random_graphs_vs_python_bfs(spark):
             for r in transitive_ancestors(df, max_depth=max_depth).collect()
         }
         assert got == expected, (trial, edges, max_depth)
+
+
+# ---- round 5: HITS, label propagation, predicate canonicalization,
+# ---- incremental edge upsert
+
+
+def _hits_spec(edges, iterations):
+    """Per-round-normalized HITS reference implementation (plain
+    python) — the textbook formulation the operator's end-normalized
+    iterate must match up to the final rescale."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {n: 1.0 for n in nodes}
+    a = {n: 0.0 for n in nodes}
+    for _ in range(iterations):
+        a = {n: sum(h[u] for u, v in edges if v == n) for n in nodes}
+        sa = sum(a.values()) or 1.0
+        a = {n: x / sa for n, x in a.items()}
+        h = {n: sum(a[v] for u, v in edges if u == n) for n in nodes}
+        sh = sum(h.values()) or 1.0
+        h = {n: x / sh for n, x in h.items()}
+    return a, h
+
+
+def test_hits_matches_per_round_normalized_spec(spark):
+    from ontoemma_spark.operators.graph import hits
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("d", "c"), ("d", "e"),
+        ("b", "c"), ("e", "a"), ("c", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["authority"], r["hub"]) for r in hits(df, iterations=4).collect()}
+    a, h = _hits_spec(edges, 4)
+    # end-normalization equals per-round normalization for a fixed
+    # iteration count; both sides sum-normalize, so compare directly
+    for n in a:
+        assert abs(got[n][0] - a[n]) < 1e-9, (n, got[n], a[n])
+        assert abs(got[n][1] - h[n]) < 1e-9, (n, got[n], h[n])
+
+
+def test_hits_bipartite_split(spark):
+    from ontoemma_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s2")], "src string, dst string"
+    )
+    rows = {r["node"]: r for r in hits(df, iterations=3).collect()}
+    # pure sources have zero authority; pure sinks zero hub
+    assert rows["c1"]["authority"] == 0.0 and rows["s1"]["hub"] == 0.0
+    # s2 (in-degree 2, incl. the stronger hub c1) outranks s1
+    assert rows["s2"]["authority"] > rows["s1"]["authority"]
+    assert rows["c1"]["hub"] > rows["c2"]["hub"]
+    assert abs(sum(r["authority"] for r in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(r["hub"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def _lpa_spec(directed_pairs, iterations):
+    """Synchronous most-frequent-neighbor LPA spec (ties → smallest
+    label), over the symmetrized edge set."""
+    edges = set(directed_pairs) | {(b, a) for a, b in directed_pairs}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    labels = {n: n for n in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for n in nodes:
+            votes = {}
+            for u, v in edges:
+                if v == n:
+                    votes[labels[u]] = votes.get(labels[u], 0) + 1
+            nxt[n] = (
+                min(votes, key=lambda l: (-votes[l], l)) if votes else labels[n]
+            )
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    from ontoemma_spark.operators.graph import label_propagation
+
+    pairs = [("1", "2"), ("2", "3"), ("1", "3"),
+             ("4", "5"), ("5", "6"), ("4", "6"), ("3", "4")]
+    und = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    assert got == _lpa_spec(pairs, 4)
+    # each triangle converges to one community
+    assert len({got["1"], got["2"], got["3"]}) == 1
+    assert len({got["4"], got["5"], got["6"]}) == 1
+
+
+def test_label_propagation_random_graph_parity(spark):
+    import random
+
+    from ontoemma_spark.operators.graph import label_propagation
+
+    rng = random.Random(11)
+    pairs = list({
+        (f"n{rng.randrange(30):02d}", f"n{rng.randrange(30):02d}")
+        for _ in range(60)
+    })
+    pairs = [(a, b) for a, b in pairs if a != b]
+    und = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(und, "src string, dst string")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_spec(pairs, iters), iters
+
+
+def test_canonicalize_predicates_alias_inverse_passthrough(spark):
+    from ontoemma_spark.operators.graph import canonicalize_predicates
+
+    df = spark.createDataFrame(
+        [
+            ("A", "Is  A", "B", "u1"),      # whitespace/case noise
+            ("B", "has part", "C", "u2"),   # inverse: swap + forward form
+            ("C", "part_of", "B", "u3"),    # alias to the same form
+            ("X", "employs", "Y", "u4"),    # inverse
+            ("P", "based in", "Q", "u5"),   # alias
+            ("M", "weird pred", "N", "u6"),  # unmapped: normalized only
+        ],
+        "subj string, pred string, obj string, url string",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in canonicalize_predicates(df).collect()
+    }
+    assert got == {
+        ("A", "is_a", "B", "u1"),
+        ("C", "is_part_of", "B", "u2"),
+        ("C", "is_part_of", "B", "u3"),
+        ("Y", "works_for", "X", "u4"),
+        ("P", "is_in", "Q", "u5"),
+        ("M", "weird_pred", "N", "u6"),
+    }
+    assert canonicalize_predicates(df).columns == ["subj", "pred", "obj", "url"]
+
+
+def test_canonicalize_predicates_custom_maps(spark):
+    from ontoemma_spark.operators.graph import canonicalize_predicates
+
+    df = spark.createDataFrame(
+        [("a", "REL", "b")], "subj string, pred string, obj string"
+    )
+    # empty maps: only surface normalization applies
+    got = canonicalize_predicates(df, alias_map={}, inverse_map={}).collect()[0]
+    assert (got["subj"], got["pred"], got["obj"]) == ("a", "rel", "b")
+
+
+def test_upsert_edges_merge_semantics(spark):
+    import datetime
+
+    from ontoemma_spark.operators.graph import upsert_edges
+
+    d = datetime.date
+    schema = (
+        "subj string, pred string, obj string, support long, n_pages long,"
+        " first_seen date, last_seen date"
+    )
+    cur = spark.createDataFrame(
+        [
+            ("a", "is_a", "b", 3, 2, d(2024, 1, 1), d(2024, 1, 5)),
+            ("only", "cur", "row", 7, 4, d(2024, 2, 1), d(2024, 2, 2)),
+        ],
+        schema,
+    )
+    bat = spark.createDataFrame(
+        [
+            ("a", "is_a", "b", 1, 1, d(2023, 12, 30), d(2024, 2, 1)),
+            ("new", "is_a", "row", 2, 2, d(2024, 3, 1), d(2024, 3, 1)),
+        ],
+        schema,
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in upsert_edges(cur, bat).collect()
+    }
+    both = got[("a", "is_a", "b")]
+    assert both["support"] == 4 and both["n_pages"] == 3
+    assert both["first_seen"] == d(2023, 12, 30)
+    assert both["last_seen"] == d(2024, 2, 1)
+    cur_only = got[("only", "cur", "row")]
+    assert cur_only["support"] == 7 and cur_only["first_seen"] == d(2024, 2, 1)
+    new_only = got[("new", "is_a", "row")]
+    assert new_only["support"] == 2 and new_only["last_seen"] == d(2024, 3, 1)
+    assert len(got) == 3

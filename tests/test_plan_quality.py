@@ -416,3 +416,114 @@ def test_bloom_gated_dedup_fresh_branch_skips_corpus_join(spark):
         if "Join" in line and "key#" in line and "word_idx" not in line
     )
     assert n_key_joins == 1, plan
+
+
+def test_canonicalize_predicates_is_narrow(spark):
+    """Predicate canonicalization is per-row (literal map lookups +
+    regexp) — NO exchange, no join, no Python eval may appear."""
+    from ontoemma_spark.operators.graph import canonicalize_predicates
+
+    t = spark.range(1000).select(
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("subj"),
+        F.concat(F.lit("rel "), (F.col("id") % 3).cast("string")).alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 7).cast("string")).alias("obj"),
+    )
+    plan = _plan(canonicalize_predicates(t))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_upsert_edges_single_full_outer_join_no_window(spark):
+    """The incremental merge is ONE full-outer equi join — never a
+    union-regroup over the standing table's history, never a window."""
+    from ontoemma_spark.operators.graph import upsert_edges
+
+    def side(n):
+        return spark.range(n).select(
+            F.concat(F.lit("s"), (F.col("id") % 11).cast("string")).alias("subj"),
+            F.lit("is_a").alias("pred"),
+            F.concat(F.lit("o"), (F.col("id") % 13).cast("string")).alias("obj"),
+            (F.col("id") % 9 + 1).alias("support"),
+            (F.col("id") % 5 + 1).alias("n_pages"),
+            F.lit("2024-01-01").cast("date").alias("first_seen"),
+            F.lit("2024-02-01").cast("date").alias("last_seen"),
+        ).groupBy("subj", "pred", "obj").agg(
+            F.sum("support").alias("support"),
+            F.sum("n_pages").alias("n_pages"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+
+    plan = _plan(upsert_edges(side(1000), side(300)))
+    assert plan.count("FullOuter") == 1, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hits_round_is_two_equi_joins_partial_aggs(spark):
+    """One HITS round = hubs⋈edges + map-side-combinable sum for
+    authorities, then the mirror pair — equi joins only, partial
+    aggregation present, no window, no cartesian."""
+    from ontoemma_spark.operators.graph import hits
+
+    e = spark.range(2000).select(
+        F.concat(F.lit("c"), (F.col("id") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("s"), (F.col("id") % 60).cast("string")).alias("dst"),
+    )
+    df = hits(e, iterations=2)
+    # the returned table is checkpointed (composed DAG already ran);
+    # assert on the shape of a single un-checkpointed round instead
+    from pyspark import StorageLevel
+
+    ed = e.distinct()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    a = (
+        ed.join(hubs, ed["src"] == hubs["node"])
+        .groupBy("dst").agg(F.sum("hub").alias("s"))
+    )
+    auths = nodes.join(a, nodes["node"] == a["dst"], "left").select(
+        "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("authority")
+    )
+    plan = _plan(auths)
+    assert "partial" in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert df.count() > 0  # the operator itself executed fine
+
+
+def test_label_propagation_round_no_window_partial_agg(spark):
+    """LPA's per-round argmax is min(struct(-cnt,label)) — a grouped
+    aggregate (map-side combinable), NOT a row_number window."""
+    from ontoemma_spark.operators.graph import label_propagation
+
+    e = spark.range(2000).select(
+        F.concat(F.lit("n"), (F.col("id") % 50).cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((F.col("id") + 7) % 50).cast("string")).alias("dst"),
+    )
+    out = label_propagation(e, iterations=1)
+    # the result is checkpointed; re-derive one round for the plan
+    ed = e.distinct()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    votes = (
+        ed.join(labels, ed["src"] == labels["node"])
+        .groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    picked = votes.groupBy("dst").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("top")
+    )
+    plan = _plan(picked)
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert out.count() > 0
