@@ -89,6 +89,7 @@ EXTENDED = [
     "label_communities",
     "triple_canonicalize",
     "kg_upsert",
+    "hll_distinct",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -588,6 +588,8 @@ def upsert_edges(
     current: DataFrame,
     batch: DataFrame,
     key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+    sketch_col: str | None = None,
+    sketch_m: int = 64,
 ) -> DataFrame:
     """Incremental KG edge merge: fold a new crawl batch's weighted
     edges (the `weighted_edges` shape — support, n_pages, first_seen,
@@ -598,25 +600,34 @@ def upsert_edges(
 
       support    := sum of both sides        (additive)
       n_pages    := sum of both sides        (upper bound after the
-                    first merge — exact distinctness across batches
-                    would need sketch state per edge; documented)
+                    first merge — exact cross-batch distinctness needs
+                    sketch state per edge: pass `sketch_col`)
       first_seen := min(both)   last_seen := max(both)
+
+    When `sketch_col` names an HLL register-array column (built with
+    operators.sketch.hll_sketch over the edge's page urls), it is
+    merged element-wise-max (sketch.hll_merge) — associative and
+    commutative, so any sequence of batch merges equals the sketch of
+    the full union and `hll_estimate(sketch_col)` stays an (accurate,
+    ~1.04/sqrt(m) relative error) distinct-page count while n_pages
+    drifts into an upper bound. Null sides behave as empty sketches.
 
     Scale shape: ONE full-outer equi join on the triple key. When both
     sides are written with tableio.write_stage bucketed by the same
     key, the join is exchange-free on the (large) standing side; the
     result is written back bucketed, so every subsequent merge stays
-    co-located. No window, no union-regroup over history."""
+    co-located. No window, no union-regroup over history; the sketch
+    merge is in-row (m ints per edge — 256 B at m=64)."""
+    from ontoemma_spark.operators import sketch as SK
+
     keys = list(key_cols)
-    c = current.select(
-        *keys, "support", "n_pages", "first_seen", "last_seen"
-    ).alias("c")
-    b = batch.select(
-        *keys, "support", "n_pages", "first_seen", "last_seen"
-    ).alias("b")
+    vals = ["support", "n_pages", "first_seen", "last_seen"]
+    if sketch_col is not None:
+        vals.append(sketch_col)
+    c = current.select(*keys, *vals).alias("c")
+    b = batch.select(*keys, *vals).alias("b")
     zero = F.lit(0).cast("long")
-    return c.join(b, keys, "full_outer").select(
-        *keys,
+    out = [
         (
             F.coalesce(F.col("c.support"), zero)
             + F.coalesce(F.col("b.support"), zero)
@@ -627,4 +638,11 @@ def upsert_edges(
         ).alias("n_pages"),
         F.least(F.col("c.first_seen"), F.col("b.first_seen")).alias("first_seen"),
         F.greatest(F.col("c.last_seen"), F.col("b.last_seen")).alias("last_seen"),
-    )
+    ]
+    if sketch_col is not None:
+        out.append(
+            SK.hll_merge(
+                F.col(f"c.{sketch_col}"), F.col(f"b.{sketch_col}"), m=sketch_m
+            ).alias(sketch_col)
+        )
+    return c.join(b, keys, "full_outer").select(*keys, *out)

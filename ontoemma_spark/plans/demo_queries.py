@@ -1356,6 +1356,102 @@ FROM tri GROUP BY subj, pred, obj
 """
 
 
+# 17o. hll_distinct — mergeable HyperLogLog distinct-count sketches
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch → merge → estimate (operators/sketch.py), the
+    distinct-page counter that stays correct across incremental
+    `upsert_edges` merges where exact n_pages drifts to an upper
+    bound. Per-host distinct-URL counts: urls wrap at 150 so hosts
+    see repeats; the corpus is split into even/odd halves, EACH HALF
+    is sketched independently, and the halves merge element-wise-max
+    — exercising exactly the cross-batch path — before one estimate.
+    The twin computes the registers of the FULL union directly: merge
+    == rebuild is an algebraic identity of max (max over a union is
+    the max of per-part maxes), so the comparison also *proves*
+    mergeability under the driver. `exact` rides along to make the
+    sketch error visible in the row (±~13% at m=64). All arithmetic
+    is exact powers of two until the final divide/ln (see
+    sketch.py's docstring), so round(4) absorbs engine libm drift."""
+    from ontoemma_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string")).alias("host"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 150).cast("string")).alias("url"),
+        (F.col("doc_id") % 2).alias("_half"),
+    )
+    even = SK.hll_sketch(
+        pages.filter(F.col("_half") == 0), ["host"], "url", out_col="a"
+    )
+    odd = SK.hll_sketch(
+        pages.filter(F.col("_half") == 1), ["host"], "url", out_col="b"
+    )
+    merged = even.join(odd, "host", "full_outer").select(
+        "host", SK.hll_merge("a", "b").alias("hll")
+    )
+    exact = pages.groupBy("host").agg(
+        F.count_distinct("url").alias("exact")
+    )
+    return merged.join(exact, "host").select(
+        "host",
+        F.round(SK.hll_estimate("hll"), 4).alias("est"),
+        F.col("exact").cast("bigint").alias("exact"),
+    )
+
+
+def _hll_sql() -> str:
+    """DuckDB twin of q_hll_distinct: identical md5 bucket/rho string
+    arithmetic; the estimate folds over the SPARSE (host, bucket)
+    maxes — absent registers contribute 2^0 = 1.0 each and count
+    toward V — which equals Spark's dense-array fold exactly (every
+    term is an exact power of two; see sketch.py on exactness)."""
+    from ontoemma_spark.operators.sketch import HLL_M, _NIBBLE_ZEROS, _alpha
+
+    nib_case = " ".join(
+        f"WHEN '{ch}' THEN {z}" for ch, z in _NIBBLE_ZEROS.items()
+    )
+    return f"""
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+         'u' || CAST(doc_id % 150 AS VARCHAR) AS url
+  FROM documents
+), hashed AS (
+  SELECT host, url,
+         CAST('0x' || substr(md5(url), 1, 2) AS BIGINT) % {HLL_M} AS bucket,
+         length(regexp_extract(substr(md5(url), 3, 13), '^0*')) AS zeros,
+         substr(regexp_replace(substr(md5(url), 3, 13), '^0*', ''), 1, 1) AS fnz
+  FROM pages
+), regs AS (
+  SELECT host, bucket,
+         max(CASE WHEN zeros = 13 THEN 53
+                  ELSE zeros * 4 + (CASE fnz {nib_case} ELSE 0 END) + 1
+             END) AS mr
+  FROM hashed GROUP BY host, bucket
+), folded AS (
+  SELECT host,
+         sum(pow(2.0, -mr)) + ({HLL_M} - count(*)) AS inv_sum,
+         {HLL_M} - count(*) AS v
+  FROM regs GROUP BY host
+), est AS (
+  SELECT host,
+         CASE WHEN v = {HLL_M} THEN 0.0
+              WHEN {_alpha(HLL_M)!r} * {HLL_M * HLL_M} / inv_sum
+                   <= 2.5 * {HLL_M} AND v > 0
+                THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / v)
+              ELSE {_alpha(HLL_M)!r} * {HLL_M * HLL_M} / inv_sum
+         END AS e
+  FROM folded
+)
+SELECT e.host, round(e.e, 4) AS est,
+       CAST(count(DISTINCT p.url) AS BIGINT) AS exact
+FROM est e JOIN pages p ON p.host = e.host
+GROUP BY e.host, e.e
+"""
+
+
+SQL_HLL_DISTINCT = _hll_sql()
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -5009,7 +5105,7 @@ QUERIES: dict[str, callable] = {
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
     # Front block as of r5: the new r5 queries (hits_scores,
-    # label_communities, triple_canonicalize, kg_upsert,
+    # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # taxonomy_closure, bloom_gated_dedup,
     # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
@@ -5023,6 +5119,7 @@ QUERIES: dict[str, callable] = {
     "label_communities": q_label_communities,
     "triple_canonicalize": q_triple_canonicalize,
     "kg_upsert": q_kg_upsert,
+    "hll_distinct": q_hll_distinct,
     "taxonomy_closure": q_taxonomy_closure,
     "bloom_gated_dedup": q_bloom_gated_dedup,
     "kg_edge_weights": q_kg_edge_weights,
@@ -5123,6 +5220,7 @@ ORACLES: dict[str, str] = {
     "label_communities": SQL_LABEL_COMMUNITIES,
     "triple_canonicalize": SQL_TRIPLE_CANONICALIZE,
     "kg_upsert": SQL_KG_UPSERT,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "taxonomy_closure": SQL_TAXONOMY_CLOSURE,
     "bloom_gated_dedup": SQL_BLOOM_GATED_DEDUP,
     "kg_edge_weights": SQL_KG_EDGE_WEIGHTS,

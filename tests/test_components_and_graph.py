@@ -499,3 +499,134 @@ def test_upsert_edges_merge_semantics(spark):
     new_only = got[("new", "is_a", "row")]
     assert new_only["support"] == 2 and new_only["last_seen"] == d(2024, 3, 1)
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# HLL sketches (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy(spark):
+    """Relative error within ~3x the theoretical 1.04/sqrt(64) ≈ 13%
+    band across three magnitudes."""
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.sketch import hll_estimate, hll_sketch
+
+    for n in (40, 400, 4000):
+        df = spark.range(n).select(
+            F.lit("k").alias("g"),
+            F.concat(F.lit(f"it{n}-"), F.col("id")).alias("it"),
+        )
+        est = (
+            hll_sketch(df, ["g"], "it")
+            .select(hll_estimate("hll").alias("e"))
+            .collect()[0]["e"]
+        )
+        assert abs(est - n) / n < 0.4, (n, est)
+
+
+def test_hll_merge_equals_rebuild(spark):
+    """The mergeability contract: element-wise-max of per-part sketches
+    == the sketch of the union, bit-for-bit (max over a union is the
+    max of per-part maxes)."""
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.sketch import hll_merge, hll_sketch
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 700).cast("string")).alias("it"),
+        (F.col("id") % 2).alias("half"),
+    )
+    a = hll_sketch(df.filter(F.col("half") == 0), ["g"], "it", out_col="a")
+    b = hll_sketch(df.filter(F.col("half") == 1), ["g"], "it", out_col="b")
+    merged = a.join(b, "g", "full_outer").select(
+        "g", hll_merge("a", "b").alias("hll")
+    )
+    full = hll_sketch(df, ["g"], "it")
+    rows = (
+        merged.alias("m")
+        .join(full.alias("f"), "g")
+        .select((F.col("m.hll") == F.col("f.hll")).alias("eq"))
+        .collect()
+    )
+    assert rows and all(r["eq"] for r in rows)
+
+
+def test_hll_merge_null_side_is_identity(spark):
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.sketch import hll_merge, hll_sketch
+
+    sk = hll_sketch(
+        spark.createDataFrame([("g", "x"), ("g", "y")], ["g", "it"]),
+        ["g"], "it",
+    )
+    out = sk.select(
+        (hll_merge("hll", F.lit(None).cast("array<int>")) == F.col("hll"))
+        .alias("eq")
+    ).collect()[0]
+    assert out["eq"]
+
+
+def test_upsert_edges_sketch_merge(spark):
+    """upsert_edges(sketch_col=...) closes its documented n_pages gap:
+    after TWO successive batch merges n_pages (sum) overcounts the
+    repeated pages, while hll_estimate over the merged sketch tracks
+    the true cross-batch distinct count."""
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.graph import upsert_edges, weighted_edges
+    from ontoemma_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    n, overlap = 600, 300  # batch 2 re-crawls half of batch 1's pages
+
+    def batch(lo: int, hi: int):
+        tri = spark.range(lo, hi).select(
+            F.lit("s").alias("subj"), F.lit("p").alias("pred"),
+            F.lit("o").alias("obj"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+            F.lit("2024-01-01").cast("date").alias("ts"),
+        )
+        w = weighted_edges(tri, key_cols=("subj", "pred", "obj"),
+                           page_col="url", ts_col="ts")
+        s = hll_sketch(tri, ["subj", "pred", "obj"], "url")
+        return w.join(s, ["subj", "pred", "obj"])
+
+    merged = upsert_edges(
+        batch(0, n), batch(overlap, overlap + n), sketch_col="hll"
+    )
+    row = merged.select(
+        "n_pages", F.round(hll_estimate("hll"), 2).alias("est")
+    ).collect()[0]
+    true_distinct = n + overlap + (n - overlap) - (n - overlap)  # = overlap + n
+    assert row["n_pages"] == 2 * n  # the documented overcount
+    assert abs(row["est"] - true_distinct) / true_distinct < 0.4
+
+
+def test_hll_sketch_null_items_single_scan(spark):
+    """Null items cost nothing; all-null keys get an all-zero sketch
+    (estimate 0) from the SAME single-scan plan."""
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.sketch import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None)], "g string, it string"
+    )
+    sk = hll_sketch(df, ["g"], "it")
+    got = {
+        r["g"]: r["e"]
+        for r in sk.select(
+            "g", F.round(hll_estimate("hll"), 2).alias("e")
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["b"] == 0.0 and 0.5 < got["a"] < 1.5
+    # single scan of the source
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("scan existingrdd") <= 1

@@ -527,3 +527,32 @@ def test_label_propagation_round_no_window_partial_agg(spark):
     assert "partial" in plan.lower(), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert out.count() > 0
+
+
+def test_hll_sketch_single_scan_partial_agg_no_window(spark):
+    """HLL register build must be ONE scan of the source (the null-item
+    sentinel rides the same groupBy — no second scan), partial-aggregate
+    map-side, and use no window and no join; the merge+estimate over
+    sketches is pure in-row (zero Exchange)."""
+    from ontoemma_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 11).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 500).cast("string")).alias("it"),
+    )
+    sk = hll_sketch(df, ["g"], "it")
+    plan = _plan(sk)
+    assert plan.lower().count("scan") <= 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+    merged = sk.select("g", hll_merge("hll", "hll").alias("m2")).select(
+        "g", hll_estimate("m2").alias("est")
+    )
+    mplan = _plan(merged)
+    # nothing after the sketch's own aggregation adds an exchange
+    assert mplan.count("Exchange") == plan.count("Exchange"), mplan
