@@ -90,6 +90,7 @@ EXTENDED = [
     "triple_canonicalize",
     "kg_upsert",
     "hll_distinct",
+    "triangle_stats",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

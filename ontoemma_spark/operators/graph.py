@@ -646,3 +646,85 @@ def upsert_edges(
             ).alias(sketch_col)
         )
     return c.join(b, keys, "full_outer").select(*keys, *out)
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    an undirected graph given as an edge list (direction and
+    duplicates ignored; self-loops dropped) — the web-graph cohesion
+    metric alongside `pagerank`/`hits` (beyond-reference analytics).
+
+    Algorithm: degree-ordered orientation (Chiba–Nishizeki / the
+    standard MapReduce triangle scheme). Canonicalize each edge to an
+    unordered pair, then orient u→v iff (deg(u), u) < (deg(v), v) in
+    the composite order. The oriented graph is a DAG in which every
+    triangle {x,y,z} (π-sorted) appears EXACTLY once as the path
+    x→y→z plus the closing edge x→z — so counting is:
+
+      wedges  = oriented ⋈ oriented  on (e1.dst = e2.src)
+      closed  = wedges   ⋈ oriented  on (x, z)          (equi!)
+
+    Why orientation matters at 10^12-page web scale: out-degree in the
+    π-order is bounded by O(sqrt(|E|)) even for hub nodes (a node
+    beats only nodes of ≥ its degree, and there can be at most
+    2·sqrt(m) of those), so a 10^8-degree hub contributes wedges
+    quadratic in sqrt(m), not in its raw degree — the unoriented
+    neighbor self-join would be quadratic in 10^8. Both joins are
+    equi-joins; AQE handles residual band skew.
+
+    Returns (node, degree, triangles, clustering) — clustering =
+    2T / d(d-1), 0.0 when d < 2. Isolated endpoints of self-loops are
+    excluded entirely (no edges survive)."""
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("d").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = oriented.select(
+        F.col("s").alias("x"), F.col("d").alias("z"), F.lit(1).alias("_c")
+    )
+    tri = wedges.join(closing, ["x", "z"]).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce(F.col("triangles"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

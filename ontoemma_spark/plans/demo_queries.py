@@ -1452,6 +1452,84 @@ GROUP BY e.host, e.e
 SQL_HLL_DISTINCT = _hll_sql()
 
 
+# 17p. triangle_stats — degree-ordered triangle counting + clustering
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and clustering coefficient
+    (graph.triangle_stats) over a deterministic ring-with-chords web
+    graph: nodes doc_id%60, ring edges v→v+1 and v→v+2 (every
+    consecutive triple closes a triangle) plus a 7v+3 chord on every
+    4th doc for irregular degrees. The twin replays the SAME
+    degree-ordered orientation — wedge join + closing equi-join — so
+    the driver verifies the orientation logic itself, not just the
+    counts."""
+    from ontoemma_spark.operators.graph import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(F.lit("n"), (c % 60).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    ring1 = docs.select(node(d).alias("src"), node(d + 1).alias("dst"))
+    ring2 = docs.select(node(d).alias("src"), node(d + 2).alias("dst"))
+    chord = docs.filter(d % 4 == 0).select(
+        node(d).alias("src"), node(d * 7 + 3).alias("dst")
+    )
+    edges = ring1.unionAll(ring2).unionAll(chord)
+    out = triangle_stats(edges)
+    return out.select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+        F.round("clustering", 6).alias("clustering"),
+    )
+
+
+SQL_TRIANGLE_STATS = """
+WITH raw AS (
+  SELECT 'n' || CAST(doc_id % 60 AS VARCHAR) AS src,
+         'n' || CAST((doc_id + 1) % 60 AS VARCHAR) AS dst FROM documents
+  UNION ALL
+  SELECT 'n' || CAST(doc_id % 60 AS VARCHAR),
+         'n' || CAST((doc_id + 2) % 60 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'n' || CAST(doc_id % 60 AS VARCHAR),
+         'n' || CAST((doc_id * 7 + 3) % 60 AS VARCHAR)
+  FROM documents WHERE doc_id % 4 = 0
+), und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.v ELSE e.u END AS d
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+), tri AS (
+  SELECT e1.s AS x, e1.d AS y, e2.d AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e2.s = e1.d
+  JOIN oriented c ON c.s = e1.s AND c.d = e2.d
+), per_node AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(p.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+"""
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -5106,7 +5184,7 @@ QUERIES: dict[str, callable] = {
     # the identical DuckDB comparison over ALL entries at sf0.01).
     # Front block as of r5: the new r5 queries (hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
-    # taxonomy_closure, bloom_gated_dedup,
+    # triangle_stats, taxonomy_closure, bloom_gated_dedup,
     # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
@@ -5120,6 +5198,7 @@ QUERIES: dict[str, callable] = {
     "triple_canonicalize": q_triple_canonicalize,
     "kg_upsert": q_kg_upsert,
     "hll_distinct": q_hll_distinct,
+    "triangle_stats": q_triangle_stats,
     "taxonomy_closure": q_taxonomy_closure,
     "bloom_gated_dedup": q_bloom_gated_dedup,
     "kg_edge_weights": q_kg_edge_weights,
@@ -5221,6 +5300,7 @@ ORACLES: dict[str, str] = {
     "triple_canonicalize": SQL_TRIPLE_CANONICALIZE,
     "kg_upsert": SQL_KG_UPSERT,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "triangle_stats": SQL_TRIANGLE_STATS,
     "taxonomy_closure": SQL_TAXONOMY_CLOSURE,
     "bloom_gated_dedup": SQL_BLOOM_GATED_DEDUP,
     "kg_edge_weights": SQL_KG_EDGE_WEIGHTS,

@@ -630,3 +630,58 @@ def test_hll_sketch_null_items_single_scan(spark):
     # single scan of the source
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("scan existingrdd") <= 1
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_k4_pendant(spark):
+    """K4 + pendant: every K4 node sits in 3 triangles; the attachment
+    node's clustering dilutes to 0.5; the pendant has none. Duplicate /
+    reversed edges and self-loops must not change anything."""
+    import itertools
+
+    from ontoemma_spark.operators.graph import triangle_stats
+
+    edges = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    edges += [("d", "e"), ("e", "d"), ("e", "e"), ("a", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["degree"], r["triangles"], round(r["clustering"], 4))
+        for r in triangle_stats(df).collect()
+    }
+    assert got["a"] == (3, 3, 1.0)
+    assert got["d"] == (4, 3, 0.5)
+    assert got["e"] == (1, 0, 0.0)
+
+
+def test_triangle_stats_random_graph_parity(spark):
+    """Degree-ordered orientation vs a brute-force O(n^3) Python spec
+    on a seeded random graph — every node's count must match."""
+    import itertools
+    import random
+
+    from ontoemma_spark.operators.graph import triangle_stats
+
+    rng = random.Random(11)
+    es = set()
+    for _ in range(200):
+        u, v = rng.randrange(45), rng.randrange(45)
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(
+        [(f"n{u}", f"n{v}") for u, v in es], ["src", "dst"]
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_stats(df).collect()}
+    adj: dict[int, set[int]] = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    spec = {f"n{v}": 0 for v in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                spec[f"n{v}"] += 1
+    assert got == spec

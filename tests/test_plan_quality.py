@@ -556,3 +556,19 @@ def test_hll_sketch_single_scan_partial_agg_no_window(spark):
     mplan = _plan(merged)
     # nothing after the sketch's own aggregation adds an exchange
     assert mplan.count("Exchange") == plan.count("Exchange"), mplan
+
+
+def test_triangle_stats_all_equi_joins(spark):
+    """The wedge and closing joins must both be equi-joins (the whole
+    point of the degree orientation) — no cartesian, no broadcast
+    nested loop, no window."""
+    from ontoemma_spark.operators.graph import triangle_stats
+
+    df = spark.range(500).select(
+        F.concat(F.lit("n"), (F.col("id") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((F.col("id") * 3 + 1) % 40).cast("string")).alias("dst"),
+    )
+    plan = _plan(triangle_stats(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
