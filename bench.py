@@ -91,6 +91,7 @@ EXTENDED = [
     "kg_upsert",
     "hll_distinct",
     "triangle_stats",
+    "k_core",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

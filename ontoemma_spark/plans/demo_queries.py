@@ -1530,6 +1530,79 @@ FROM deg d LEFT JOIN per_node p ON p.node = d.node
 """
 
 
+# 17q. k_core — iterative periphery peel over the crawl graph
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of a ring-with-chords graph carrying pendant 2-chains
+    (graph.k_core): chain tips peel in round 1, which exposes the
+    chain roots to peel in round 2 — exercising genuine multi-round
+    convergence — while the dense ring (degree >= 4) survives intact.
+    The fixpoint is idempotent, so the twin unrolls a FIXED 4 rounds
+    and the operator early-exits on convergence; results agree because
+    extra rounds are no-ops (see operator docstring)."""
+    from ontoemma_spark.operators.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(F.lit("n"), (c % 40).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    ring1 = docs.select(node(d).alias("src"), node(d + 1).alias("dst"))
+    ring2 = docs.select(node(d).alias("src"), node(d + 2).alias("dst"))
+    c1 = docs.filter(d % 3 == 0).select(
+        node(d).alias("src"),
+        F.concat(F.lit("c"), (d % 40).cast("string"), F.lit("_1")).alias("dst"),
+    )
+    c2 = docs.filter(d % 3 == 0).select(
+        F.concat(F.lit("c"), (d % 40).cast("string"), F.lit("_1")).alias("src"),
+        F.concat(F.lit("c"), (d % 40).cast("string"), F.lit("_2")).alias("dst"),
+    )
+    edges = ring1.unionAll(ring2).unionAll(c1).unionAll(c2)
+    out = k_core(edges, k=3, max_rounds=6)
+    return out.select(
+        "node", F.col("degree").cast("bigint").alias("degree")
+    )
+
+
+def _k_core_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled peel: degrees -> under-k nodes -> anti-join, repeated
+    `rounds` times (>= the fixture's convergence depth of 2)."""
+    parts = ["""
+WITH raw AS (
+  SELECT 'n' || CAST(doc_id % 40 AS VARCHAR) AS src,
+         'n' || CAST((doc_id + 1) % 40 AS VARCHAR) AS dst FROM documents
+  UNION ALL
+  SELECT 'n' || CAST(doc_id % 40 AS VARCHAR),
+         'n' || CAST((doc_id + 2) % 40 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'n' || CAST(doc_id % 40 AS VARCHAR),
+         'c' || CAST(doc_id % 40 AS VARCHAR) || '_1'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'c' || CAST(doc_id % 40 AS VARCHAR) || '_1',
+         'c' || CAST(doc_id % 40 AS VARCHAR) || '_2'
+  FROM documents WHERE doc_id % 3 = 0
+), e0 AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", bad{i} AS (
+  SELECT node FROM (
+    SELECT u AS node FROM e{i - 1} UNION ALL SELECT v AS node FROM e{i - 1}
+  ) GROUP BY node HAVING COUNT(*) < {k}
+), e{i} AS (
+  SELECT u, v FROM e{i - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM bad{i} b WHERE b.node = e.u)
+    AND NOT EXISTS (SELECT 1 FROM bad{i} b WHERE b.node = e.v)
+)""")
+    parts.append(f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds}
+) GROUP BY node""")
+    return "".join(parts)
+
+
+SQL_K_CORE = _k_core_sql()
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -5184,7 +5257,7 @@ QUERIES: dict[str, callable] = {
     # the identical DuckDB comparison over ALL entries at sf0.01).
     # Front block as of r5: the new r5 queries (hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
-    # triangle_stats, taxonomy_closure, bloom_gated_dedup,
+    # triangle_stats, k_core, taxonomy_closure, bloom_gated_dedup,
     # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
@@ -5199,6 +5272,7 @@ QUERIES: dict[str, callable] = {
     "kg_upsert": q_kg_upsert,
     "hll_distinct": q_hll_distinct,
     "triangle_stats": q_triangle_stats,
+    "k_core": q_k_core,
     "taxonomy_closure": q_taxonomy_closure,
     "bloom_gated_dedup": q_bloom_gated_dedup,
     "kg_edge_weights": q_kg_edge_weights,
@@ -5301,6 +5375,7 @@ ORACLES: dict[str, str] = {
     "kg_upsert": SQL_KG_UPSERT,
     "hll_distinct": SQL_HLL_DISTINCT,
     "triangle_stats": SQL_TRIANGLE_STATS,
+    "k_core": SQL_K_CORE,
     "taxonomy_closure": SQL_TAXONOMY_CLOSURE,
     "bloom_gated_dedup": SQL_BLOOM_GATED_DEDUP,
     "kg_edge_weights": SQL_KG_EDGE_WEIGHTS,

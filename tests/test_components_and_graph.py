@@ -685,3 +685,46 @@ def test_triangle_stats_random_graph_parity(spark):
             for v in (x, y, z):
                 spec[f"n{v}"] += 1
     assert got == spec
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    """K4 + pendant 3-chain: the chain peels over THREE rounds (tip
+    first, each round exposing the next link); the K4 survives at k=3
+    with in-core degrees. k=5 empties the graph. Fixed-round
+    (early_exit=False) equals converged early-exit — the fixpoint is
+    idempotent, which is what the SQL twin's fixed unroll relies on."""
+    import itertools
+
+    from ontoemma_spark.operators.graph import k_core
+
+    edges = [(x, y) for x, y in itertools.combinations("abcd", 2)]
+    edges += [("d", "p1"), ("p1", "p2"), ("p2", "p3"), ("b", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in k_core(df, k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    fixed = {
+        r["node"]: r["degree"]
+        for r in k_core(df, k=3, max_rounds=8, early_exit=False).collect()
+    }
+    assert fixed == got
+    assert k_core(df, k=5).collect() == []
+
+
+def test_k_core_k2_drops_tree_parts(spark):
+    """k=2 keeps exactly the cyclic part: a triangle with two trees
+    hanging off reduces to the triangle, every survivor at degree 2."""
+    from ontoemma_spark.operators.graph import k_core
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # cycle
+        ("a", "t1"), ("t1", "t2"), ("t1", "t3"),  # tree
+        ("z1", "z2"),                             # detached edge
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
