@@ -92,6 +92,7 @@ EXTENDED = [
     "hll_distinct",
     "triangle_stats",
     "k_core",
+    "random_walks",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

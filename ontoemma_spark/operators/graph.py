@@ -801,3 +801,107 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     return degrees(e)
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 4,
+    walks_per_node: int = 1,
+    seed: str = "w",
+    src: str = "src",
+    dst: str = "dst",
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Deterministic uniform random walks over the graph — the
+    training-corpus generator for DeepWalk/node2vec-style KG
+    embeddings (each walk is a "sentence" of node tokens for a
+    skip-gram model). Returns (walk_id, path array<node>), path[0] =
+    the start node, |path| = length + 1 (shorter only if a walk hits a
+    dead end, possible when symmetrize=False).
+
+    Determinism (the reproducibility contract every other operator
+    here honors — no Math.random, identical output on any cluster
+    layout): step s of walk w at node v moves to neighbor
+    index md5(w ':' s ':' v) % degree(v), with neighbor indices
+    assigned by row_number over the sorted adjacency list. The same
+    md5/conv idiom as the Bloom/HLL sketches keeps it replayable in
+    the DuckDB oracle.
+
+    Scale shape: the adjacency index is ONE row_number window
+    partitioned by node (bounded per-partition by degree — the
+    standard adjacency build) + ONE degree agg, both persisted across
+    steps; each step is then exactly TWO equi joins (degree lookup,
+    (node, idx) neighbor lookup) over the walk frontier, which stays
+    at |V| * walks_per_node rows regardless of step count. No
+    explode-to-quadratic anywhere; hub adjacency lists spread across
+    the cluster by the (node, idx) key."""
+    from pyspark import StorageLevel
+
+    a, b = F.col(src), F.col(dst)
+    e = edges.select(a.alias("s"), b.alias("d")).where(F.col("s") != F.col("d"))
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+    e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nbrs = e.select(
+        F.col("s").alias("node"),
+        F.col("d").alias("nbr"),
+        (
+            F.row_number().over(Window.partitionBy("s").orderBy("d")) - 1
+        ).alias("idx"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        walks = deg.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("i"),
+            F.col("node"),
+        ).select(
+            F.concat_ws("-", F.lit(seed), F.col("node"), F.col("i")).alias(
+                "walk_id"
+            ),
+            F.col("node").alias("cur"),
+            F.array(F.col("node")).alias("path"),
+        )
+        for s in range(1, length + 1):
+            pick = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("walk_id"), F.lit(f":{s}:"), F.col("cur")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("deg")
+            )
+            walks = (
+                walks.join(deg, walks["cur"] == deg["node"])
+                .withColumn("_idx", pick)
+                .join(
+                    nbrs,
+                    (walks["cur"] == nbrs["node"]) & (F.col("_idx") == nbrs["idx"]),
+                )
+                .select(
+                    "walk_id",
+                    F.col("nbr").alias("cur"),
+                    F.concat(F.col("path"), F.array(F.col("nbr"))).alias("path"),
+                )
+            )
+        # a walk whose current node has no out-neighbors drops out of
+        # the inner joins above (dead end, symmetrize=False only);
+        # every surviving row has the full length
+        return walks.select("walk_id", "path").localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nbrs.unpersist()
+        deg.unpersist()

@@ -1603,6 +1603,67 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
 SQL_K_CORE = _k_core_sql()
 
 
+# 17r. random_walks — deterministic DeepWalk corpus generation
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform random walks (graph.random_walks) over the symmetrized
+    ring-with-chords graph — the skip-gram training corpus for KG
+    embeddings. Walk steps are md5-derandomized (neighbor index =
+    md5(walk:step:node) % degree over the SORTED adjacency list), so
+    the twin replays every step exactly: same row_number adjacency
+    index, same hex-parse pick."""
+    from ontoemma_spark.operators.graph import random_walks
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(F.lit("n"), (c % 30).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    edges = docs.select(node(d).alias("src"), node(d + 1).alias("dst")).unionAll(
+        docs.select(node(d).alias("src"), node(d * 3 + 1).alias("dst"))
+    )
+    out = random_walks(edges, length=3, walks_per_node=2)
+    return out.select("walk_id", F.array_join("path", " ").alias("path"))
+
+
+def _random_walks_sql(length: int = 3, wpn: int = 2) -> str:
+    parts = [f"""
+WITH raw AS (
+  SELECT 'n' || CAST(doc_id % 30 AS VARCHAR) AS s,
+         'n' || CAST((doc_id + 1) % 30 AS VARCHAR) AS d FROM documents
+  UNION ALL
+  SELECT 'n' || CAST(doc_id % 30 AS VARCHAR),
+         'n' || CAST((doc_id * 3 + 1) % 30 AS VARCHAR) FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT s, d FROM raw WHERE s <> d
+    UNION ALL SELECT d, s FROM raw WHERE s <> d
+  )
+), nbrs AS (
+  SELECT s AS node, d AS nbr,
+         row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS idx
+  FROM e
+), deg AS (
+  SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY s
+), w0 AS (
+  SELECT 'w' || '-' || node || '-' || CAST(i AS VARCHAR) AS walk_id,
+         node AS cur, node AS path
+  FROM deg, (SELECT unnest(range({wpn})) AS i)
+)"""]
+    for s in range(1, length + 1):
+        parts.append(f""", w{s} AS (
+  SELECT w.walk_id, n.nbr AS cur, w.path || ' ' || n.nbr AS path
+  FROM w{s - 1} w
+  JOIN deg g ON g.node = w.cur
+  JOIN nbrs n ON n.node = w.cur
+   AND n.idx = CAST('0x' || substr(
+         md5(w.walk_id || ':{s}:' || w.cur), 1, 8) AS BIGINT) % g.deg
+)""")
+    parts.append(f"""
+SELECT walk_id, path FROM w{length}""")
+    return "".join(parts)
+
+
+SQL_RANDOM_WALKS = _random_walks_sql()
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -5257,7 +5318,8 @@ QUERIES: dict[str, callable] = {
     # the identical DuckDB comparison over ALL entries at sf0.01).
     # Front block as of r5: the new r5 queries (hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
-    # triangle_stats, k_core, taxonomy_closure, bloom_gated_dedup,
+    # triangle_stats, k_core, random_walks, taxonomy_closure,
+    # bloom_gated_dedup,
     # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
@@ -5273,6 +5335,7 @@ QUERIES: dict[str, callable] = {
     "hll_distinct": q_hll_distinct,
     "triangle_stats": q_triangle_stats,
     "k_core": q_k_core,
+    "random_walks": q_random_walks,
     "taxonomy_closure": q_taxonomy_closure,
     "bloom_gated_dedup": q_bloom_gated_dedup,
     "kg_edge_weights": q_kg_edge_weights,
@@ -5376,6 +5439,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "triangle_stats": SQL_TRIANGLE_STATS,
     "k_core": SQL_K_CORE,
+    "random_walks": SQL_RANDOM_WALKS,
     "taxonomy_closure": SQL_TAXONOMY_CLOSURE,
     "bloom_gated_dedup": SQL_BLOOM_GATED_DEDUP,
     "kg_edge_weights": SQL_KG_EDGE_WEIGHTS,

@@ -728,3 +728,57 @@ def test_k_core_k2_drops_tree_parts(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+# ---------------------------------------------------------------------------
+# random_walks
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_python_replay_parity(spark):
+    """Every emitted walk must replay exactly under the md5 step rule
+    over the sorted adjacency list — the determinism contract that
+    makes walks reproducible across cluster layouts and engines."""
+    import hashlib
+
+    from ontoemma_spark.operators.graph import random_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = random_walks(df, length=4, walks_per_node=3).collect()
+    assert len(out) == 4 * 3
+    adj: dict[str, list[str]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)  # type: ignore[arg-type]
+        adj.setdefault(v, set()).add(u)  # type: ignore[arg-type]
+    adj = {k: sorted(vs) for k, vs in adj.items()}
+
+    def replay(walk_id: str, start: str, n: int) -> list[str]:
+        cur, path = start, [start]
+        for s in range(1, n + 1):
+            nbrs = adj[cur]
+            h = hashlib.md5(f"{walk_id}:{s}:{cur}".encode()).hexdigest()[:8]
+            cur = nbrs[int(h, 16) % len(nbrs)]
+            path.append(cur)
+        return path
+
+    for r in out:
+        start = r["walk_id"].split("-")[1]
+        assert r["path"][0] == start
+        assert r["path"] == replay(r["walk_id"], start, 4)
+        for a, b in zip(r["path"], r["path"][1:]):
+            assert b in adj[a]  # every hop is a real edge
+
+
+def test_random_walks_directed_dead_end_drops(spark):
+    """symmetrize=False: walks reaching a node with no out-edges drop
+    out (documented); sink-only nodes never start a walk."""
+    from ontoemma_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    out = random_walks(df, length=1, symmetrize=False).collect()
+    got = {r["walk_id"]: r["path"] for r in out}
+    assert got == {"w-a-0": ["a", "b"], "w-b-0": ["b", "c"]}
+    # length 3 from 'a' dies at c (no out-edges) — nothing survives
+    out3 = random_walks(df, length=3, symmetrize=False).collect()
+    assert out3 == []
