@@ -1664,6 +1664,67 @@ SELECT walk_id, path FROM w{length}""")
 SQL_RANDOM_WALKS = _random_walks_sql()
 
 
+# 17s. adamic_adar — link prediction over the KG with a hub cap
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (graph.adamic_adar) over a ring
+    (i—i+1) with distance-3 chords (i—i+3) plus a hub wired to every
+    even node. The hub's degree (15) exceeds max_degree=10, so it is
+    dropped as a wedge center — exercising the hyper-hub cap that
+    bounds the quadratic wedge fan-out at crawl scale — while every
+    ring node (degree 4-5) still centers wedges. Existing edges are
+    anti-joined away; scores are rounded to 6 places so sum-order
+    float drift between engines is absorbed (same convention as
+    pagerank)."""
+    from ontoemma_spark.operators.graph import adamic_adar
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(F.lit("n"), (c % 30).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    ring = docs.select(node(d).alias("src"), node(d + 1).alias("dst"))
+    chords = docs.select(node(d).alias("src"), node(d + 3).alias("dst"))
+    hub = docs.filter(d % 2 == 0).select(
+        F.lit("hub").alias("src"), node(d).alias("dst")
+    )
+    out = adamic_adar(ring.unionAll(chords).unionAll(hub), max_degree=10)
+    return out.select(
+        "node_a", "node_b", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ADAMIC_ADAR = """
+WITH raw AS (
+  SELECT 'n' || CAST(doc_id % 30 AS VARCHAR) AS s,
+         'n' || CAST((doc_id + 1) % 30 AS VARCHAR) AS d FROM documents
+  UNION ALL
+  SELECT 'n' || CAST(doc_id % 30 AS VARCHAR),
+         'n' || CAST((doc_id + 3) % 30 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'hub', 'n' || CAST(doc_id % 30 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0
+), und AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE s <> d
+), half AS (
+  SELECT u AS y, v AS n FROM und UNION ALL SELECT v, u FROM und
+), deg AS (
+  SELECT y, COUNT(*) AS deg FROM half GROUP BY y
+), adj AS (
+  SELECT h.y, h.n, 1.0 / ln(CAST(g.deg AS DOUBLE)) AS w
+  FROM half h JOIN deg g ON g.y = h.y
+  WHERE g.deg BETWEEN 2 AND 10
+), pairs AS (
+  SELECT a.n AS node_a, b.n AS node_b, SUM(a.w) AS score
+  FROM adj a JOIN adj b ON a.y = b.y AND a.n < b.n
+  GROUP BY a.n, b.n
+)
+SELECT node_a, node_b, ROUND(score, 6) AS score
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM und e WHERE e.u = p.node_a AND e.v = p.node_b
+)
+"""
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -5316,7 +5377,7 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the new r5 queries (hits_scores,
+    # Front block as of r5: the new r5 queries (adamic_adar, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
     # bloom_gated_dedup,
@@ -5328,6 +5389,7 @@ QUERIES: dict[str, callable] = {
     # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
     # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
+    "adamic_adar": q_adamic_adar,
     "hits_scores": q_hits_scores,
     "label_communities": q_label_communities,
     "triple_canonicalize": q_triple_canonicalize,
@@ -5432,6 +5494,7 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "adamic_adar": SQL_ADAMIC_ADAR,
     "hits_scores": SQL_HITS_SCORES,
     "label_communities": SQL_LABEL_COMMUNITIES,
     "triple_canonicalize": SQL_TRIPLE_CANONICALIZE,

@@ -782,3 +782,60 @@ def test_random_walks_directed_dead_end_drops(spark):
     # length 3 from 'a' dies at c (no out-edges) — nothing survives
     out3 = random_walks(df, length=3, symmetrize=False).collect()
     assert out3 == []
+
+
+def test_adamic_adar_path_square_scores(spark):
+    """Hand-checked fixture: path a-b-c (one wedge through b, deg 2)
+    scores (a,c) = 1/ln(2); square a-b-c-d-a scores each diagonal by
+    its TWO degree-2 common neighbors = 2/ln(2); existing edges never
+    appear unless include_existing=True."""
+    import math
+
+    from ontoemma_spark.operators.graph import adamic_adar
+
+    path = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = {(r["node_a"], r["node_b"]): r["score"]
+           for r in adamic_adar(path).collect()}
+    assert set(got) == {("a", "c")}
+    assert abs(got[("a", "c")] - 1 / math.log(2)) < 1e-12
+
+    sq = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    got = {(r["node_a"], r["node_b"]): r["score"]
+           for r in adamic_adar(sq).collect()}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    for v in got.values():
+        assert abs(v - 2 / math.log(2)) < 1e-12
+
+    # triangle: every wedge pair IS an existing edge -> default output
+    # empty; include_existing=True keeps all three at 1/ln(2)
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    assert adamic_adar(tri).collect() == []
+    kept = {(r["node_a"], r["node_b"]): r["score"]
+            for r in adamic_adar(tri, include_existing=True).collect()}
+    assert set(kept) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for v in kept.values():
+        assert abs(v - 1 / math.log(2)) < 1e-12
+
+
+def test_adamic_adar_max_degree_drops_hub_wedges(spark):
+    """Star hub h-{x1..x5} plus edge x1-x2: uncapped, the hub centers
+    C(5,2)=10 wedges; max_degree=4 excludes the hub (deg 5) so only
+    the x1/x2 wedges through each other survive — the crawl-scale
+    hyper-hub guard. Direction and duplicate edges don't matter."""
+    from ontoemma_spark.operators.graph import adamic_adar
+
+    edges = [("h", f"x{i}") for i in range(1, 6)] + [
+        ("x1", "x2"), ("x2", "x1"), ("x2", "h")
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    uncapped = {(r["node_a"], r["node_b"]) for r in adamic_adar(df).collect()}
+    assert len(uncapped) == 10 - 1  # all hub wedge pairs minus existing x1-x2
+    capped = adamic_adar(df, max_degree=4).collect()
+    # hub excluded as center; x1 (deg 2) and x2 (deg 2) each center a
+    # wedge between their two neighbors -> (h,x2) and (h,x1) exist, so
+    # nothing survives the anti-join
+    assert capped == []
