@@ -1725,6 +1725,145 @@ WHERE NOT EXISTS (
 """
 
 
+# 17t. triple_fusion — cross-page evidence rollup (Knowledge Vault shape)
+def _synth_claims(docs: DataFrame) -> DataFrame:
+    """Deterministic conflicting-claim fixture over documents: host by
+    doc_id%7, subject by %40, predicate by %3, object by (doc_id//40)%3
+    — so each (subj, pred) group collects claims from several hosts
+    with genuinely conflicting objects (doc_id//40 varies across the
+    mod-120 residue class that fixes subj+pred)."""
+    d = F.col("doc_id")
+    return docs.select(
+        F.concat(
+            F.lit("http://h"), (d % 7).cast("string"),
+            F.lit(".ex.com/p"), d.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("s"), (d % 40).cast("string")).alias("subj"),
+        F.when(d % 3 == 0, F.lit("born_in"))
+        .when(d % 3 == 1, F.lit("capital_of"))
+        .otherwise(F.lit("works_at"))
+        .alias("pred"),
+        F.concat(F.lit("o"), (F.floor(d / 40) % 3).cast("string")).alias("obj"),
+    )
+
+
+_CLAIMS_SQL = """
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com' AS host,
+         's' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         CASE doc_id % 3 WHEN 0 THEN 'born_in'
+                         WHEN 1 THEN 'capital_of'
+                         ELSE 'works_at' END AS pred,
+         'o' || CAST((doc_id // 40) % 3 AS VARCHAR) AS obj
+  FROM documents
+"""
+
+
+def q_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(s,p,o) evidence rollup (fusion.fuse_triples): support rows,
+    distinct asserting hosts, noisy-or belief at flat host trust 0.7 —
+    the closed-form Knowledge-Vault fusion layer. Host comes out of
+    try_parse_url on the synthesized urls (NOT re-synthesized), so the
+    query also pins the crawl-robust url→host path."""
+    from ontoemma_spark.operators.fusion import fuse_triples
+
+    trip = _synth_claims(_t(spark, sf_dir, "documents"))
+    out = fuse_triples(trip, host_trust=0.7)
+    return out.select(
+        "subj", "pred", "obj",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("n_hosts").cast("bigint").alias("n_hosts"),
+        F.round("belief", 6).alias("belief"),
+    )
+
+
+SQL_TRIPLE_FUSION = f"""
+WITH t AS ({_CLAIMS_SQL})
+SELECT subj, pred, obj,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       ROUND(1.0 - power(0.3, COUNT(DISTINCT host)), 6) AS belief
+FROM t GROUP BY subj, pred, obj
+"""
+
+
+# 17u. functional_resolve — truth discovery + functional-predicate pick
+def q_functional_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fusion chain: host_reliability (2 truth-discovery rounds,
+    prior 0.8) then resolve_functional — born_in/capital_of keep ONE
+    reliability-weighted winner per subject, works_at fans out with
+    its vote stats. The twin unrolls both rounds (winner = row_number
+    over (w DESC, obj DESC) = Spark's max-struct) — same fixed-round
+    determinism contract as pagerank/k_core."""
+    from ontoemma_spark.operators.fusion import (
+        host_reliability,
+        resolve_functional,
+    )
+
+    trip = _synth_claims(_t(spark, sf_dir, "documents"))
+    rel = host_reliability(trip, iterations=2, prior=0.8)
+    out = resolve_functional(
+        trip, ["born_in", "capital_of"], reliability=rel
+    )
+    return out.select(
+        "subj", "pred", "obj",
+        F.col("support").cast("bigint").alias("support"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def _functional_resolve_sql(rounds: int = 2, prior: float = 0.8) -> str:
+    parts = [f"""
+WITH t AS ({_CLAIMS_SQL}),
+c AS (SELECT DISTINCT host, subj, pred, obj FROM t),
+nc AS (SELECT host, COUNT(*) AS n_claims FROM c GROUP BY host),
+r0 AS (SELECT host, {prior!r} AS rel FROM nc)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", w{i} AS (
+  SELECT c.subj, c.pred, c.obj, SUM(r.rel) AS w
+  FROM c JOIN r{i - 1} r ON r.host = c.host
+  GROUP BY c.subj, c.pred, c.obj
+), win{i} AS (
+  SELECT subj, pred, obj FROM (
+    SELECT subj, pred, obj,
+           row_number() OVER (PARTITION BY subj, pred
+                              ORDER BY w DESC, obj DESC) AS rn
+    FROM w{i}
+  ) WHERE rn = 1
+), m{i} AS (
+  SELECT c.host, COUNT(*) AS matched
+  FROM c JOIN win{i} w
+    ON w.subj = c.subj AND w.pred = c.pred AND w.obj = c.obj
+  GROUP BY c.host
+), r{i} AS (
+  SELECT nc.host,
+         (COALESCE(m{i}.matched, 0) + 1.0) / (nc.n_claims + 2.0) AS rel
+  FROM nc LEFT JOIN m{i} ON m{i}.host = nc.host
+)""")
+    parts.append(f""", votes AS (
+  SELECT c.subj, c.pred, c.obj,
+         COUNT(*) AS support, SUM(r.rel) AS weight
+  FROM c JOIN r{rounds} r ON r.host = c.host
+  GROUP BY c.subj, c.pred, c.obj
+)
+SELECT subj, pred, obj, CAST(support AS BIGINT) AS support,
+       ROUND(weight, 6) AS weight
+FROM votes WHERE pred NOT IN ('born_in', 'capital_of')
+UNION ALL
+SELECT subj, pred, obj, CAST(support AS BIGINT) AS support,
+       ROUND(weight, 6) AS weight
+FROM (
+  SELECT subj, pred, obj, support, weight,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY weight DESC, support DESC, obj DESC
+                           ) AS rn
+  FROM votes WHERE pred IN ('born_in', 'capital_of')
+) WHERE rn = 1""")
+    return "".join(parts)
+
+
+SQL_FUNCTIONAL_RESOLVE = _functional_resolve_sql()
+
+
 # 17c. incremental_dedup — batch-vs-corpus probe against dedup_state
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: docs < 250 are the already-admitted
@@ -5377,7 +5516,8 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the new r5 queries (adamic_adar, hits_scores,
+    # Front block as of r5: the new r5 queries (adamic_adar,
+    # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
     # bloom_gated_dedup,
@@ -5390,6 +5530,8 @@ QUERIES: dict[str, callable] = {
     # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
     "adamic_adar": q_adamic_adar,
+    "triple_fusion": q_triple_fusion,
+    "functional_resolve": q_functional_resolve,
     "hits_scores": q_hits_scores,
     "label_communities": q_label_communities,
     "triple_canonicalize": q_triple_canonicalize,
@@ -5495,6 +5637,8 @@ QUERIES: dict[str, callable] = {
 
 ORACLES: dict[str, str] = {
     "adamic_adar": SQL_ADAMIC_ADAR,
+    "triple_fusion": SQL_TRIPLE_FUSION,
+    "functional_resolve": SQL_FUNCTIONAL_RESOLVE,
     "hits_scores": SQL_HITS_SCORES,
     "label_communities": SQL_LABEL_COMMUNITIES,
     "triple_canonicalize": SQL_TRIPLE_CANONICALIZE,

@@ -572,3 +572,50 @@ def test_triangle_stats_all_equi_joins(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_fuse_triples_one_partial_agg_no_window(spark):
+    """The evidence rollup is ONE hash aggregate keyed (s,p,o) with
+    map-side partials (count/count_distinct/min/max all combine); no
+    window, no join, no shuffle beyond the single group-by exchange."""
+    from ontoemma_spark.operators.fusion import fuse_triples
+
+    trip = spark.range(2000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 9).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("s"), (F.col("id") % 40).cast("string")).alias("subj"),
+        F.lit("born_in").alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 3).cast("string")).alias("obj"),
+        (F.col("id") % 97).alias("ts"),
+    )
+    plan = _plan(fuse_triples(trip, ts_col="ts"))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_resolve_functional_broadcast_reliability_max_struct(spark):
+    """The host-reliability table enters via broadcast (it is
+    host-cardinality, never shuffled against the claim set); the
+    functional winner is a max-struct AGGREGATE, not a window; no
+    cartesian."""
+    from ontoemma_spark.operators.fusion import resolve_functional
+
+    trip = spark.range(2000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 9).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("s"), (F.col("id") % 40).cast("string")).alias("subj"),
+        F.lit("born_in").alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 3).cast("string")).alias("obj"),
+    )
+    rel = spark.range(9).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".com")).alias("host"),
+        (F.col("id").cast("double") / 10).alias("reliability"),
+    )
+    plan = _plan(resolve_functional(trip, ["born_in"], reliability=rel))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "max(" in _optimized(resolve_functional(
+        trip, ["born_in"], reliability=rel
+    )).lower(), "winner should be a max-struct aggregate"
