@@ -137,8 +137,17 @@ def run_pipeline(
     threshold: float = config.SIM_SCORE_THRESHOLD,
     incremental: bool = False,
     table_format: str | None = None,
+    fuse: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline; returns the manifest.
+
+    fuse=True appends an optional stage 5 that rolls the materialized
+    edge table up to one row per canonical (subject, relation, object)
+    with cross-page evidence (support, distinct hosts, noisy-or
+    belief) via operators.fusion.fuse_triples — the Knowledge-Vault
+    fusion layer between extraction and the published KG. Off by
+    default: the raw edge table keeps per-extraction provenance
+    (url, sent_idx) that the rollup aggregates away.
 
     incremental=True: when a completed extract checkpoint exists, only
     pages whose url is NOT in the processed-url set are extracted; their
@@ -252,6 +261,37 @@ def run_pipeline(
             "nodes": nodes.count(), "edges": kg_edges.count()
         }
         manifest["stages"]["materialize"]["partitions"] = bucket_counts
+        _write_manifest(out_dir, manifest)
+
+    # ---- stage 5 (optional): fuse ----------------------------------------
+    if fuse and "fuse" not in done:
+        from ontoemma_spark.operators.fusion import fuse_triples
+
+        edges_now = _read_stage(spark, manifest["stages"]["materialize"])
+        fused = fuse_triples(
+            edges_now.select(
+                F.col("subject_id").alias("subj"),
+                F.col("relation_type").alias("pred"),
+                F.col("object_id").alias("obj"),
+                "url",
+            )
+        ).select(
+            F.col("subj").alias("subject_id"),
+            F.col("pred").alias("relation_type"),
+            F.col("obj").alias("object_id"),
+            "support",
+            "n_hosts",
+            "belief",
+        )
+        fused_ck = _checkpoint(
+            fused, out_dir, "fuse", manifest, metrics={},
+            bucket_col="subject_id", fmt=table_format,
+        )
+        n_facts = fused_ck.count()
+        manifest["stages"]["fuse"]["metrics"] = {
+            "facts": n_facts,
+            "multi_host_facts": fused_ck.filter(F.col("n_hosts") > 1).count(),
+        }
         _write_manifest(out_dir, manifest)
 
     return read_manifest(out_dir)

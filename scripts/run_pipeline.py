@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output/checkpoint dir")
     ap.add_argument("--synthetic", action="store_true", help="use synthetic fixtures")
     ap.add_argument("--threshold", type=float, default=0.90)
+    ap.add_argument("--fuse", action="store_true",
+                    help="append the evidence-fusion stage (one row per "
+                         "canonical (s,r,o) with support/n_hosts/belief)")
     args = ap.parse_args()
 
     from ontoemma_spark.pipeline import run_pipeline
@@ -62,7 +65,8 @@ def main() -> None:
             pages = spark.read.parquet(args.pages)
         kb = spark.read.parquet(args.kb)
 
-    manifest = run_pipeline(spark, pages, kb, args.out, threshold=args.threshold)
+    manifest = run_pipeline(spark, pages, kb, args.out,
+                            threshold=args.threshold, fuse=args.fuse)
     print(json.dumps({k: v["metrics"] for k, v in manifest["stages"].items()}))
     spark.stop()
 

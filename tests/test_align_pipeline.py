@@ -92,3 +92,34 @@ def test_pipeline_incremental_processes_only_new_pages(spark, tmp_path_factory):
     # idempotent: re-running incrementally with no new pages is a no-op
     m4 = run_pipeline(spark, grown, kb, out_dir, incremental=True)
     assert m4 == m2
+
+
+def test_pipeline_fuse_stage_rollup_and_resume(spark, tmp_path_factory):
+    """fuse=True appends stage 5: one row per canonical (s, r, o) with
+    support >= the page fan-in, and a noisy-or belief in (0, 1]. The
+    stage resumes like every other (second run recomputes nothing), and
+    a run WITHOUT fuse on the same dir leaves the stage untouched."""
+    out_dir = str(tmp_path_factory.mktemp("kgpipe_fuse"))
+    pages = synthetic_pages(spark, n_pages=30)
+    kb, _ = synthetic_kb(spark, "KB", n_entities=40)
+    manifest = run_pipeline(spark, pages, kb, out_dir, fuse=True)
+    assert "fuse" in manifest["stages"]
+    m = manifest["stages"]["fuse"]["metrics"]
+    assert m["facts"] > 0
+    assert m["facts"] <= manifest["stages"]["materialize"]["metrics"]["edges"]
+    fused = spark.read.parquet(f"{out_dir}/fuse")
+    assert {"subject_id", "relation_type", "object_id",
+            "support", "n_hosts", "belief"} <= set(fused.columns)
+    row = fused.filter(F.col("support") < 1).count()
+    assert row == 0
+    assert fused.filter((F.col("belief") <= 0) | (F.col("belief") > 1)).count() == 0
+    # rollup really aggregates: no duplicate (s, r, o)
+    assert (
+        fused.groupBy("subject_id", "relation_type", "object_id")
+        .count().filter(F.col("count") > 1).count()
+    ) == 0
+    # resume + fuse-off stability
+    manifest2 = run_pipeline(spark, pages, kb, out_dir, fuse=True)
+    assert manifest2 == manifest
+    manifest3 = run_pipeline(spark, pages, kb, out_dir)
+    assert manifest3 == manifest

@@ -112,7 +112,15 @@ def test_junk_between_records_resyncs(junk, pos):
     st_ = {}
     got = list(parse_warc_rows(blob, stats=st_))
     assert {r[0] for r in got} == {u for u, _, _ in rows}
-    assert st_["resyncs"] >= 1
+    # junk made ONLY of blank lines (every readline segment is "\n" or
+    # "\r\n") is legitimate inter-record whitespace per the WARC format
+    # — the scanner skips it without a quarantine, so no resync is owed
+    # (hypothesis corner: junk=b"\n")
+    pieces = (junk + b"\r\n").split(b"\n")
+    if all(p in (b"", b"\r") for p in pieces):
+        assert st_.get("resyncs", 0) == 0
+    else:
+        assert st_["resyncs"] >= 1
 
 
 def test_missing_content_length_quarantines_one_record():
