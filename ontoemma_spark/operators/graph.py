@@ -274,7 +274,14 @@ def entity_cooccurrence_pmi(
     blow-up as an uncapped LSH band; (3) `min_pair_count` prunes the
     long singleton tail before the join against marginals. The
     marginal table and the scalar N are broadcast (entity vocabulary
-    and 1 row — tiny next to the pair table)."""
+    and 1 row — tiny next to the pair table).
+
+    `capped` (the distinct+window pass, the expensive stage) feeds
+    both pair sides, the marginals, and the doc count — persisted
+    MEMORY_AND_DISK so one action runs it once, not 5x (lazy result,
+    the caller owns materialization)."""
+    from pyspark import StorageLevel
+
     ents = mentions.select(doc_col, ent_col).distinct()
     capped = (
         ents.withColumn(
@@ -285,6 +292,7 @@ def entity_cooccurrence_pmi(
         )
         .filter(F.col("_rk") <= max_per_doc)
         .drop("_rk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_total = capped.select(
         F.count_distinct(doc_col).alias("n_docs")
@@ -693,7 +701,17 @@ def triangle_stats(
 
     Returns (node, degree, triangles, clustering) — clustering =
     2T / d(d-1), 0.0 when d < 2. Isolated endpoints of self-loops are
-    excluded entirely (no edges survive)."""
+    excluded entirely (no edges survive).
+
+    `und`, `deg`, and `oriented` are each consumed by 2-3 downstream
+    branches; without persists Catalyst inlines the subtree per
+    consumer and the base edge table is scanned ~10x per action (the
+    round-4 extract-union lesson). All three are persisted
+    MEMORY_AND_DISK and left persisted because the returned DataFrame
+    is lazy — the caller owns materialization (same contract as
+    dedup.ngram_shingles)."""
+    from pyspark import StorageLevel
+
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(
@@ -701,12 +719,14 @@ def triangle_stats(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
@@ -717,7 +737,7 @@ def triangle_stats(
     oriented = keyed.select(
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("d"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
     e2 = oriented.select(F.col("s").alias("y"), F.col("d").alias("z"))
     wedges = e1.join(e2, "y")
@@ -933,12 +953,20 @@ def adamic_adar(
     approximation (and the cap is exact-izable: rows dropped are
     exactly those through capped hubs, which the oracle replays).
     Deduped canonical pairs keep each wedge once: y's neighbor list
-    generates ordered pairs n1 < n2."""
+    generates ordered pairs n1 < n2.
+
+    `und` feeds the adjacency union twice plus the final anti-join,
+    and `adj` feeds both wedge sides — persisted MEMORY_AND_DISK so
+    one action scans the base edges once, not ~6x (lazy result, the
+    caller owns materialization)."""
+    from pyspark import StorageLevel
+
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # adjacency as (center y, neighbor n) both directions
     half = und.select(F.col("u").alias("y"), F.col("v").alias("n")).unionAll(
@@ -948,8 +976,10 @@ def adamic_adar(
     centers = deg.where(F.col("deg") >= 2)
     if max_degree is not None:
         centers = centers.where(F.col("deg") <= max_degree)
-    adj = half.join(centers, "y").withColumn(
-        "w", 1.0 / F.log(F.col("deg").cast("double"))
+    adj = (
+        half.join(centers, "y")
+        .withColumn("w", 1.0 / F.log(F.col("deg").cast("double")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n1 = adj.select("y", F.col("n").alias("node_a"), "w")
     n2 = adj.select("y", F.col("n").alias("node_b"))
