@@ -176,9 +176,21 @@ def lsh_candidate_pairs(
 
     max_band_df caps hot bands before the self-join (drop_hot_bands);
     at corpus scale ALWAYS set it — fan-out per band is its document
-    frequency, and an uncapped boilerplate band is quadratic."""
+    frequency, and an uncapped boilerplate band is quadratic.
+
+    When the cap is set the banded table feeds FOUR branches (the
+    cap's agg + anti-join, then both self-join sides) and its lineage
+    reaches back through the minhash/shingle pipeline — persisted
+    MEMORY_AND_DISK so one action computes the signatures once, not 4x
+    (lazy result, the caller owns materialization). Uncapped, the two
+    self-join consumers re-run only the narrow posexplode over
+    `signatures` (typically already persisted by minhash_signatures),
+    which is cheaper than caching — measured, so no persist there."""
     stacked = band_hashes(signatures, num_hashes=num_hashes, bands=bands)
     if max_band_df is not None:
+        from pyspark import StorageLevel
+
+        stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
         stacked = drop_hot_bands(stacked, max_band_df)
     a = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b_side = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
@@ -224,6 +236,12 @@ def dedup_state(
     )
     stacked = band_hashes(sig, num_hashes=num_hashes, bands=bands)
     if max_band_df is not None:
+        # the cap's agg + anti-join consume the banded table twice,
+        # doubling the minhash pipeline — persist (lazy result, the
+        # caller owns materialization)
+        from pyspark import StorageLevel
+
+        stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
         stacked = drop_hot_bands(stacked, max_band_df)
     bands_df = stacked.select("band_idx", "band_hash").distinct()
     return hashes, bands_df
@@ -1209,9 +1227,18 @@ def bloom_gated_dedup(
     callers on the ingest hot path should persist or checkpoint the
     probe output so the bloom join runs once — the driver query and
     tests leave it lazy because the probe is a narrow broadcast shape.
+    A state built HERE is persisted before use: both union branches
+    inline the probe, and without the persist each would rebuild the
+    bloom — a full corpus_keys scan per branch for a table of at most
+    m_bits/32 rows (production callers pass a materialized `state`,
+    which already avoids this).
     """
     if state is None:
-        state = bloom_state(corpus_keys, key_col=key_col, m_bits=m_bits, k=k)
+        from pyspark import StorageLevel
+
+        state = bloom_state(
+            corpus_keys, key_col=key_col, m_bits=m_bits, k=k
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     probed = bloom_probe(
         batch, state, key_col=key_col, id_col=id_col, m_bits=m_bits, k=k
     )
