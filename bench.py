@@ -93,6 +93,15 @@ EXTENDED = [
     "triangle_stats",
     "k_core",
     "random_walks",
+    # round 5 (final): link prediction, cross-page evidence fusion,
+    # functional-property truth discovery, temporal joins over
+    # versioned KG state, directed SCCs
+    "adamic_adar",
+    "triple_fusion",
+    "functional_resolve",
+    "kg_asof",
+    "interval_points",
+    "scc_components",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

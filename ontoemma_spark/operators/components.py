@@ -100,3 +100,177 @@ def canonical_ids_from_matches(matches: DataFrame) -> DataFrame:
     """Match pairs (s_id, t_id) → (node, component) canonical mapping,
     singletons excluded (they keep their own id by definition)."""
     return connected_components(matches, src="s_id", dst="t_id")
+
+
+def _min_reach_labels_bidir(
+    edges: DataFrame, nodes: DataFrame, max_iterations: int
+) -> DataFrame:
+    """(node, label, blabel): label = min node id that can REACH node
+    along directed edges, blabel = min node id node can reach (both
+    including node itself). The forward and backward propagations are
+    the SAME fixpoint on a direction-tagged union (dir='f' walks edges,
+    dir='b' walks them reversed), so both run in ONE loop — half the
+    per-iteration job count of two separate loops, which at toy scale
+    is half the wall-clock (fixed job overhead dominates) and at
+    cluster scale halves the scheduling rounds. Min-label propagation
+    is accelerated by transitive compression (label ← label-of-label
+    within the same direction): if m reaches v and k reaches m then k
+    reaches v, giving O(log diameter) convergence like the undirected
+    pointer jumping above.
+    """
+    edges2 = edges.select("src", "dst", F.lit("f").alias("dir")).union(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.lit("b").alias("dir"),
+        )
+    )
+    labels = (
+        nodes.select(
+            "node", F.explode(F.array(F.lit("f"), F.lit("b"))).alias("dir")
+        )
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            edges2.join(labels.withColumnRenamed("node", "src"), ["src", "dir"])
+            .groupBy(F.col("dst").alias("node"), "dir")
+            .agg(F.min("label").alias("nbr"))
+        )
+        stepped = labels.join(msgs, ["node", "dir"], "left").select(
+            "node", "dir",
+            F.least(F.col("label"), F.coalesce("nbr", F.col("label"))).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        # transitive compression: label ← label of label (per direction)
+        thru = stepped.select(
+            F.col("node").alias("label"), "dir", F.col("label").alias("grand")
+        ).groupBy("label", "dir").agg(F.min("grand").alias("grand"))
+        new_label = F.least(F.col("label"), F.coalesce("grand", F.col("label")))
+        jumped = (
+            stepped.join(thru, ["label", "dir"], "left")
+            .select(
+                "node", "dir", new_label.alias("label"),
+                # changed flag carried in-plan: one count on the
+                # checkpointed frame, no extra self-join per iteration
+                (new_label != F.col("_old")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter("_changed").limit(1).count()
+        labels = jumped.drop("_changed")
+        if changed == 0:
+            return (
+                labels.groupBy("node")
+                .pivot("dir", ["f", "b"])
+                .agg(F.first("label"))
+                .select("node", F.col("f").alias("label"), F.col("b").alias("blabel"))
+            )
+    raise RuntimeError(
+        f"directed min-label propagation did not converge in {max_iterations} "
+        "rounds; raise max_iterations"
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    max_iterations: int = config.CC_MAX_ITERATIONS,
+) -> DataFrame:
+    """(node, component) over a DIRECTED graph, component = min node id
+    in the node's strongly connected component. The web-graph shape:
+    link farms / mutually-citing clusters are SCCs; the bow-tie DAG
+    around the giant SCC is singletons.
+
+    Forward-backward min-coloring (the distributed-SCC family of Orzan
+    2004 / Hong et al. 2013, relational form): per outer round, over
+    the still-unsettled subgraph compute fwd(v) = min id that reaches v
+    and bwd(v) = min id v reaches (two min-label propagations, each
+    O(log diameter) via transitive compression). fwd(v) = bwd(v) = m
+    certifies v ∈ SCC(m) (m reaches v and v reaches m); every SCC whose
+    min-reaching id lies inside it settles this round. Settled nodes
+    and their edges drop out; repeat. A one-pass degree trim settles
+    source/sink singletons (in- or out-degree 0) before each coloring —
+    at web scale the IN/OUT bow-tie lobes are shallow, so the observed
+    outer-round count is small (the giant SCC settles in round 1); a
+    pathological depth-D id-ordered DAG chain needs D rounds, bounded
+    by ``max_rounds`` with a loud failure, never a silent partial
+    answer.
+
+    Each propagation step is one shuffle with map-side partial min;
+    localCheckpoint truncates lineage per step (cluster: durable
+    checkpoint). Output covers every node present in ``edges``
+    (self-loops contribute the node as a singleton-or-member, never a
+    dropped row).
+    """
+    live = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # seed with an empty, correctly-typed part so zero-edge input
+    # returns an empty (node, component) frame instead of crashing
+    done_parts: list[DataFrame] = [
+        nodes.withColumn("component", F.col("node")).limit(0)
+    ]
+
+    for _ in range(max_rounds):
+        if nodes.limit(1).count() == 0:
+            break
+        # trim: a node with no in-edges or no out-edges (within the live
+        # subgraph) is its own SCC — settles DAG periphery cheaply.
+        has_in = live.select(F.col("dst").alias("node")).distinct()
+        has_out = live.select(F.col("src").alias("node")).distinct()
+        trimmed = nodes.join(has_in, "node", "left_anti").union(
+            nodes.join(has_out, "node", "left_anti")
+        ).distinct()
+        done_parts.append(
+            trimmed.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+        )
+        nodes = nodes.join(trimmed, "node", "left_anti").localCheckpoint(eager=True)
+        if nodes.limit(1).count() == 0:
+            break
+        live = (
+            live.join(trimmed.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(trimmed.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+        both = _min_reach_labels_bidir(live, nodes, max_iterations)
+        settled = (
+            both.filter(F.col("label") == F.col("blabel"))
+            .select("node", F.col("label").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        if settled.limit(1).count() == 0:  # pragma: no cover — defensive
+            raise RuntimeError("SCC coloring made no progress (bug)")
+        done_parts.append(settled)
+        nodes = both.join(settled, "node", "left_anti").select("node").localCheckpoint(
+            eager=True
+        )
+        live = (
+            live.join(settled.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(settled.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nodes.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components did not settle in {max_rounds} "
+            "rounds (DAG periphery deeper than the bound); raise max_rounds"
+        )
+
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.union(part)
+    return out.select("node", "component")

@@ -1902,6 +1902,160 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 17v. kg_asof — as-of lookup against versioned KG fact state
+def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join (temporal.asof_join): versioned
+    entity facts (entity = doc_id%40, a new version every 40 ids at
+    valid_from = (doc_id//40)*10) probed by per-doc query timestamps
+    (ts = doc_id%130 - 5, so early queries predate every version and
+    must come back null — left semantics). Single-shuffle union-tag
+    plan, no inequality-join explosion; the twin is the textbook
+    lateral argmax. Epoch bigints, not timestamps (engine-portable,
+    see TESTDATA notes)."""
+    from ontoemma_spark.operators.temporal import asof_join
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    facts = docs.select(
+        F.concat(F.lit("e"), (d % 40).cast("string")).alias("key"),
+        (F.floor(d / 40) * 10).cast("bigint").alias("valid_from"),
+        F.concat(F.lit("o"), (F.floor(d / 40) % 3).cast("string")).alias("val"),
+    )
+    qs = docs.select(
+        d.cast("bigint").alias("qid"),
+        F.concat(F.lit("e"), ((d * 7) % 40).cast("string")).alias("key"),
+        (d % 130 - 5).cast("bigint").alias("ts"),
+    )
+    return asof_join(qs, facts, on="key", query_ts="ts", fact_ts="valid_from").select(
+        "qid", "key", "ts",
+        F.col("valid_from").cast("bigint").alias("valid_from"), "val",
+    )
+
+
+SQL_KG_ASOF = """
+WITH facts AS (
+  SELECT DISTINCT 'e' || CAST(doc_id % 40 AS VARCHAR) AS key,
+         CAST((doc_id // 40) * 10 AS BIGINT) AS valid_from,
+         'o' || CAST((doc_id // 40) % 3 AS VARCHAR) AS val
+  FROM documents
+), q AS (
+  SELECT CAST(doc_id AS BIGINT) AS qid,
+         'e' || CAST((doc_id * 7) % 40 AS VARCHAR) AS key,
+         CAST(doc_id % 130 - 5 AS BIGINT) AS ts
+  FROM documents
+), j AS (
+  SELECT q.qid, q.key, q.ts, f.valid_from, f.val,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY f.valid_from DESC) AS rn
+  FROM q LEFT JOIN facts f ON f.key = q.key AND f.valid_from <= q.ts
+)
+SELECT qid, key, ts, valid_from, val FROM j WHERE rn = 1
+"""
+
+
+# 17w. interval_points — fetch-time → crawl-window assignment
+def q_interval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (temporal.interval_join): 20 overlapping
+    crawl windows [iid*50, iid*50+80) probed by per-doc fetch times
+    (doc_id*37 % 1100, so some fall in two windows and some in none).
+    bucket_width=64 deliberately divides nothing, exercising the
+    floor-bucket edges; the plan is an equi-join on the bucket id
+    (plan-asserted: no BroadcastNestedLoopJoin), the twin the naive
+    range predicate."""
+    from ontoemma_spark.operators.temporal import interval_join
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ivs = docs.filter(d < 20).select(
+        d.cast("bigint").alias("iid"),
+        (d * 50).cast("bigint").alias("start"),
+        (d * 50 + 80).cast("bigint").alias("end"),
+    )
+    pts = docs.select(
+        d.cast("bigint").alias("pid"),
+        ((d * 37) % 1100).cast("bigint").alias("t"),
+    )
+    return interval_join(pts, ivs, bucket_width=64).select(
+        "pid", "t", "iid", "start", "end"
+    )
+
+
+SQL_INTERVAL_POINTS = """
+WITH ivs AS (
+  SELECT CAST(doc_id AS BIGINT) AS iid,
+         CAST(doc_id * 50 AS BIGINT) AS start,
+         CAST(doc_id * 50 + 80 AS BIGINT) AS "end"
+  FROM documents WHERE doc_id < 20
+), pts AS (
+  SELECT CAST(doc_id AS BIGINT) AS pid,
+         CAST((doc_id * 37) % 1100 AS BIGINT) AS t
+  FROM documents
+)
+SELECT pid, t, iid, start, "end" AS end
+FROM pts JOIN ivs ON ivs.start <= pts.t AND pts.t < ivs."end"
+"""
+
+
+# 17x. scc_components — directed SCCs over the link graph
+def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (components.strongly_connected_
+    components) over a synthetic link graph with the web's bow-tie
+    anatomy: ten 6-cycles (blocks of zero-padded node ids, each one
+    SCC), one-directional cross links between block pairs (a DAG
+    between SCCs — settles in the second coloring round), and two
+    periphery singletons (pure-source nz0, pure-sink nz1 — settled by
+    the degree trim). component = min node id in the SCC; the twin is
+    recursive-CTE mutual reachability, tractable at fixture scale."""
+    from ontoemma_spark.operators.components import strongly_connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 60
+    node = lambda c: F.concat(F.lit("n"), F.lpad(c.cast("string"), 2, "0"))  # noqa: E731
+    ring = docs.select(
+        node(i).alias("src"),
+        node(F.floor(i / 6) * 6 + (i % 6 + 1) % 6).alias("dst"),
+    )
+    cross = docs.filter(i % 12 == 0).select(
+        node(i).alias("src"), node(i + 6).alias("dst")
+    )
+    one = docs.filter(F.col("doc_id") == 0)
+    periphery = one.select(
+        F.lit("nz0").alias("src"), F.lit("n00").alias("dst")
+    ).unionAll(one.select(F.lit("n59").alias("src"), F.lit("nz1").alias("dst")))
+    edges = ring.unionAll(cross).unionAll(periphery)
+    return strongly_connected_components(edges)
+
+
+SQL_SCC_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'n' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS src,
+           'n' || lpad(CAST(((doc_id % 60) // 6) * 6
+                            + ((doc_id % 60) % 6 + 1) % 6 AS VARCHAR),
+                       2, '0') AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'n' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0'),
+           'n' || lpad(CAST(doc_id % 60 + 6 AS VARCHAR), 2, '0')
+    FROM documents WHERE (doc_id % 60) % 12 = 0
+    UNION ALL
+    SELECT 'nz0', 'n00' UNION ALL SELECT 'n59', 'nz1'
+  )
+), reach(s, d) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.s, e2.dst FROM reach r JOIN e e2 ON e2.src = r.d
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), mutual AS (
+  SELECT node, node AS m FROM nodes
+  UNION
+  SELECT a.s, a.d FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+)
+SELECT node, MIN(m) AS component FROM mutual GROUP BY node
+"""
+
+
 def _sql_sig_chain(src: str, p: str) -> str:
     """CTE fragments computing the minhash signature + band table of
     `src` (doc_id, text), prefixed `p` — the twin of
@@ -5516,7 +5670,8 @@ QUERIES: dict[str, callable] = {
     # first, then queries whose last green driver row is oldest, then the
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
-    # Front block as of r5: the new r5 queries (adamic_adar,
+    # Front block as of r5: the new r5 queries (kg_asof,
+    # interval_points, scc_components, adamic_adar,
     # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
@@ -5529,6 +5684,9 @@ QUERIES: dict[str, callable] = {
     # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
     # fix, then the 47 r4-exact-greens.
     # ------------------------------------------------------------------
+    "kg_asof": q_kg_asof,
+    "interval_points": q_interval_points,
+    "scc_components": q_scc_components,
     "adamic_adar": q_adamic_adar,
     "triple_fusion": q_triple_fusion,
     "functional_resolve": q_functional_resolve,
@@ -5636,6 +5794,9 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kg_asof": SQL_KG_ASOF,
+    "interval_points": SQL_INTERVAL_POINTS,
+    "scc_components": SQL_SCC_COMPONENTS,
     "adamic_adar": SQL_ADAMIC_ADAR,
     "triple_fusion": SQL_TRIPLE_FUSION,
     "functional_resolve": SQL_FUNCTIONAL_RESOLVE,
