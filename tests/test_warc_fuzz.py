@@ -84,12 +84,16 @@ def test_truncation_keeps_prefix_and_never_raises(cut):
     urls = {r[0] for r in got}
     assert urls <= {u for u, _, _ in rows}
     assert st_.get("pages", 0) == len(got)
-    # every whole record before the cut survives
-    import math
+    # every whole record before the cut survives (records are uniform)
     rec_len = len(_archive(rows)) // 5
-    assert len(got) >= min(5, cut // rec_len) - 0  # prefix parse
-    # truncated-mid-payload is flagged when a partial record was emitted
-    if got and len(got) > cut // rec_len:
+    assert len(got) >= min(5, cut // rec_len)  # prefix parse
+    # truncated-mid-payload is flagged iff a partial PAYLOAD was
+    # emitted. Keyed on the payload bytes themselves, not on
+    # cut // rec_len arithmetic: a cut that removes only the
+    # inter-record separator (e.g. cut = rec_len - 4) still yields a
+    # byte-complete page, and the parser rightly flags nothing.
+    orig = {u: h for u, _, h in rows}
+    if any(h != orig[u] for u, _, h, *_ in got):
         assert st_.get("truncated", 0) == 1
 
 
