@@ -102,6 +102,9 @@ EXTENDED = [
     "kg_asof",
     "interval_points",
     "scc_components",
+    "kg_diff",
+    "entity_properties",
+    "degree_histogram",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

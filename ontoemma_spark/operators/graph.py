@@ -671,6 +671,103 @@ def upsert_edges(
     return c.join(b, keys, "full_outer").select(*keys, *out)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """Diff two KG snapshots at triple granularity: which facts a crawl
+    added, removed, or kept — the audit table every incremental KG
+    publish ships next to the new snapshot (and the input to change
+    feeds / cache invalidation downstream).
+
+    Output: key columns + status ∈ {added, removed, kept}. A functional
+    predicate whose object drifted shows as one removed + one added row
+    (diff at (subj, pred) granularity by passing key_cols without
+    "obj", at which point duplicate (s,p) rows must be pre-collapsed —
+    see resolve_functional).
+
+    Scale shape: ONE full-outer equi join on the key, the same
+    bucketing contract as upsert_edges — snapshots written bucketed by
+    the key diff exchange-free. Non-key columns are deliberately NOT
+    carried (provenance lives on the snapshots; the diff is the
+    smallest possible audit row).
+    """
+    keys = list(key_cols)
+    o = old.select(*keys).distinct().withColumn("_o", F.lit(1))
+    n = new.select(*keys).distinct().withColumn("_n", F.lit(1))
+    return o.join(n, keys, "full_outer").select(
+        *keys,
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+def entity_property_table(
+    triples: DataFrame,
+    predicates: list[str],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Wide property-table materialization: one row per subject, one
+    column per listed (functional) predicate — the layout RDF stores
+    call a property table and every KG-backed feature join wants
+    (probe once, get all attributes; no per-predicate self-joins).
+
+    pivot with EXPLICIT values is one grouped aggregate with map-side
+    partial max — no distinct-predicates discovery job, no shuffle per
+    predicate. max(obj) makes the pick deterministic when upstream
+    left duplicate objects on a functional predicate (the principled
+    resolution is resolve_functional upstream; max here is the
+    documented tie-break, never a silent arbitrary row). Unlisted
+    predicates are filtered BEFORE the aggregate so the shuffle
+    carries only requested facts; subjects with none of the listed
+    predicates don't appear.
+    """
+    if not predicates:
+        raise ValueError("predicates must be a non-empty explicit list")
+    return (
+        triples.filter(F.col(pred_col).isin(predicates))
+        .groupBy(F.col(subj_col).alias("subj"))
+        .pivot(pred_col, predicates)
+        .agg(F.max(obj_col))
+    )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Log2-binned in/out-degree distribution — the first sanity plot
+    of any crawl graph (power-law tail, hub inflation after a bad
+    extraction round, dedup regressions all show up here first).
+
+    Output: (kind 'in'|'out', bin, n_nodes) where bin = number of
+    binary digits of the degree (floor(log2)+1: degree 1 → bin 1,
+    2-3 → 2, 4-7 → 3, …). Binning uses conv(degree, 10, 2) string
+    length, not float log2 — integer-exact at every power-of-two
+    boundary on both engines (float log2 is the classic off-by-one at
+    53-bit mantissa edges; same lesson as the HLL rank computation).
+
+    Scale shape: two stacked map-side-combinable aggregates (degree
+    per node, then nodes per bin) over a union that Spark evaluates as
+    one pass per side; output is ~64 rows regardless of graph size.
+    """
+    ends = edges.select(
+        F.col(src).alias("node"), F.lit("out").alias("kind")
+    ).unionAll(edges.select(F.col(dst).alias("node"), F.lit("in").alias("kind")))
+    deg = ends.groupBy("kind", "node").agg(F.count("*").alias("degree"))
+    return (
+        deg.withColumn(
+            "bin", F.length(F.conv(F.col("degree"), 10, 2)).cast("bigint")
+        )
+        .groupBy("kind", "bin")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",

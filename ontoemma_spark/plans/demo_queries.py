@@ -2056,6 +2056,149 @@ SELECT node, MIN(m) AS component FROM mutual GROUP BY node
 """
 
 
+# 17y. kg_diff — added/removed/kept audit between two KG snapshots
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (graph.snapshot_diff): the old snapshot holds
+    claims from docs with doc_id%5 != 0, the new one doc_id%3 != 0
+    with every 7th doc's object drifted one step — so the diff shows
+    genuine adds (new-only docs), removes (old-only + drifted-away
+    objects), and kept triples, at any sf. ONE full-outer equi join;
+    the twin mirrors it."""
+    from ontoemma_spark.operators.graph import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def claims(df, drift):
+        return df.select(
+            F.concat(F.lit("s"), (d % 40).cast("string")).alias("subj"),
+            F.when(d % 3 == 0, F.lit("born_in"))
+            .when(d % 3 == 1, F.lit("capital_of"))
+            .otherwise(F.lit("works_at"))
+            .alias("pred"),
+            F.concat(
+                F.lit("o"),
+                ((F.floor(d / 40) + drift) % 3).cast("string"),
+            ).alias("obj"),
+        )
+
+    old = claims(docs.filter(d % 5 != 0), F.lit(0))
+    new = claims(
+        docs.filter(d % 3 != 0), (d % 7 == 0).cast("int")
+    )
+    return snapshot_diff(old, new)
+
+
+SQL_KG_DIFF = """
+WITH o AS (
+  SELECT DISTINCT 's' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         CASE doc_id % 3 WHEN 0 THEN 'born_in' WHEN 1 THEN 'capital_of'
+              ELSE 'works_at' END AS pred,
+         'o' || CAST((doc_id // 40) % 3 AS VARCHAR) AS obj,
+         1 AS _o
+  FROM documents WHERE doc_id % 5 <> 0
+), n AS (
+  SELECT DISTINCT 's' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         CASE doc_id % 3 WHEN 0 THEN 'born_in' WHEN 1 THEN 'capital_of'
+              ELSE 'works_at' END AS pred,
+         'o' || CAST((doc_id // 40 + CASE WHEN doc_id % 7 = 0 THEN 1
+                                          ELSE 0 END) % 3 AS VARCHAR) AS obj,
+         1 AS _n
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT subj, pred, obj,
+       CASE WHEN _o IS NULL THEN 'added'
+            WHEN _n IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM o FULL OUTER JOIN n USING (subj, pred, obj)
+"""
+
+
+# 17z. entity_properties — wide property-table pivot
+def q_entity_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-table materialization (graph.entity_property_table):
+    one row per subject, one column per listed functional predicate —
+    explicit-values pivot, ONE grouped aggregate with map-side partial
+    max (no distinct-discovery job). The 'likes' predicate stays
+    unpivoted and is filtered before the shuffle; subjects carrying
+    only 'likes' don't appear."""
+    from ontoemma_spark.operators.graph import entity_property_table
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    trip = docs.select(
+        F.concat(F.lit("s"), (d % 40).cast("string")).alias("subj"),
+        F.when(d % 4 == 0, F.lit("born_in"))
+        .when(d % 4 == 1, F.lit("capital_of"))
+        .when(d % 4 == 2, F.lit("works_at"))
+        .otherwise(F.lit("likes"))
+        .alias("pred"),
+        F.concat(F.lit("o"), (F.floor(d / 40) % 3).cast("string")).alias("obj"),
+    )
+    return entity_property_table(trip, ["born_in", "capital_of", "works_at"])
+
+
+SQL_ENTITY_PROPERTIES = """
+WITH t AS (
+  SELECT 's' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         CASE doc_id % 4 WHEN 0 THEN 'born_in' WHEN 1 THEN 'capital_of'
+              WHEN 2 THEN 'works_at' ELSE 'likes' END AS pred,
+         'o' || CAST((doc_id // 40) % 3 AS VARCHAR) AS obj
+  FROM documents
+)
+SELECT subj,
+       MAX(CASE WHEN pred = 'born_in' THEN obj END) AS born_in,
+       MAX(CASE WHEN pred = 'capital_of' THEN obj END) AS capital_of,
+       MAX(CASE WHEN pred = 'works_at' THEN obj END) AS works_at
+FROM t WHERE pred IN ('born_in', 'capital_of', 'works_at')
+GROUP BY subj
+"""
+
+
+# 17aa. degree_histogram — log2-binned crawl-graph degree distribution
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned in/out-degree histogram (graph.degree_histogram)
+    over the ring+chords+hub graph from the adamic_adar fixture —
+    the hub's in-degree lands in a high bin on its own, the ring
+    nodes cluster in low bins. Binning is conv-to-binary string
+    length (integer-exact at power-of-two boundaries on both engines,
+    never float log2)."""
+    from ontoemma_spark.operators.graph import degree_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(F.lit("n"), (c % 30).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    ring = docs.select(node(d).alias("src"), node(d + 1).alias("dst"))
+    chords = docs.select(node(d).alias("src"), node(d + 3).alias("dst"))
+    hub = docs.filter(d % 2 == 0).select(
+        F.lit("hub").alias("src"), node(d).alias("dst")
+    )
+    return degree_histogram(ring.unionAll(chords).unionAll(hub))
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH raw AS (
+  SELECT 'n' || CAST(doc_id % 30 AS VARCHAR) AS src,
+         'n' || CAST((doc_id + 1) % 30 AS VARCHAR) AS dst FROM documents
+  UNION ALL
+  SELECT 'n' || CAST(doc_id % 30 AS VARCHAR),
+         'n' || CAST((doc_id + 3) % 30 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'hub', 'n' || CAST(doc_id % 30 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0
+), ends AS (
+  SELECT src AS node, 'out' AS kind FROM raw
+  UNION ALL
+  SELECT dst, 'in' FROM raw
+), deg AS (
+  SELECT kind, node, COUNT(*) AS degree FROM ends GROUP BY kind, node
+)
+SELECT kind, CAST(length(bin(degree)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY kind, bin
+"""
+
+
 def _sql_sig_chain(src: str, p: str) -> str:
     """CTE fragments computing the minhash signature + band table of
     `src` (doc_id, text), prefixed `p` — the twin of
@@ -5671,7 +5814,8 @@ QUERIES: dict[str, callable] = {
     # rest (those stay pinned by tests/test_entry_oracle.py, which runs
     # the identical DuckDB comparison over ALL entries at sf0.01).
     # Front block as of r5: the new r5 queries (kg_asof,
-    # interval_points, scc_components, adamic_adar,
+    # interval_points, scc_components, kg_diff, entity_properties,
+    # degree_histogram, adamic_adar,
     # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
@@ -5687,6 +5831,9 @@ QUERIES: dict[str, callable] = {
     "kg_asof": q_kg_asof,
     "interval_points": q_interval_points,
     "scc_components": q_scc_components,
+    "kg_diff": q_kg_diff,
+    "entity_properties": q_entity_properties,
+    "degree_histogram": q_degree_histogram,
     "adamic_adar": q_adamic_adar,
     "triple_fusion": q_triple_fusion,
     "functional_resolve": q_functional_resolve,
@@ -5795,6 +5942,9 @@ QUERIES: dict[str, callable] = {
 
 ORACLES: dict[str, str] = {
     "kg_asof": SQL_KG_ASOF,
+    "kg_diff": SQL_KG_DIFF,
+    "entity_properties": SQL_ENTITY_PROPERTIES,
+    "degree_histogram": SQL_DEGREE_HISTOGRAM,
     "interval_points": SQL_INTERVAL_POINTS,
     "scc_components": SQL_SCC_COMPONENTS,
     "adamic_adar": SQL_ADAMIC_ADAR,

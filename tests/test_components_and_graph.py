@@ -839,3 +839,69 @@ def test_adamic_adar_max_degree_drops_hub_wedges(spark):
     # wedge between their two neighbors -> (h,x2) and (h,x1) exist, so
     # nothing survives the anti-join
     assert capped == []
+
+
+def test_snapshot_diff_add_remove_kept(spark):
+    from ontoemma_spark.operators.graph import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("s1", "p", "a"), ("s2", "p", "b"), ("s3", "p", "c"),
+         ("s3", "p", "c")],  # dup rows collapse
+        ["subj", "pred", "obj"],
+    )
+    new = spark.createDataFrame(
+        [("s1", "p", "a"), ("s2", "p", "B"), ("s4", "p", "d")],
+        ["subj", "pred", "obj"],
+    )
+    got = {(r["subj"], r["obj"]): r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        ("s1", "a"): "kept",
+        ("s2", "b"): "removed", ("s2", "B"): "added",  # drift = remove+add
+        ("s3", "c"): "removed",
+        ("s4", "d"): "added",
+    }
+    # (subj, pred) granularity: drift shows as one kept-key row pair
+    got2 = {(r["subj"], r["status"]) for r in
+            snapshot_diff(old, new, key_cols=("subj", "pred")).collect()}
+    assert got2 == {("s1", "kept"), ("s2", "kept"), ("s3", "removed"),
+                    ("s4", "added")}
+
+
+def test_entity_property_table_pivot_and_guards(spark):
+    import pytest as _pytest
+
+    from ontoemma_spark.operators.graph import entity_property_table
+
+    trip = spark.createDataFrame(
+        [("s1", "born_in", "x"), ("s1", "works_at", "y"),
+         ("s2", "born_in", "z"), ("s2", "born_in", "w"),  # dup -> max = z
+         ("s3", "likes", "q")],                            # unlisted only
+        ["subj", "pred", "obj"],
+    )
+    out = entity_property_table(trip, ["born_in", "works_at"])
+    got = {r["subj"]: (r["born_in"], r["works_at"]) for r in out.collect()}
+    assert got == {"s1": ("x", "y"), "s2": ("z", None)}  # s3 absent
+    with _pytest.raises(ValueError, match="non-empty"):
+        entity_property_table(trip, [])
+    # explicit-values pivot = ONE grouped aggregate: a single exchange.
+    # Assert on a FRESH (unexecuted) frame — after execution AQE's
+    # toString renders initial+final plans and double-counts.
+    plan = (
+        entity_property_table(trip, ["born_in", "works_at"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_degree_histogram_bins(spark):
+    from ontoemma_spark.operators.graph import degree_histogram
+
+    # hub -> x1..x5 (out-degree 5 -> bin 3), each xi -> hub (in-deg 5)
+    edges = [("hub", f"x{i}") for i in range(1, 6)] + [
+        (f"x{i}", "hub") for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["kind"], r["bin"]): r["n_nodes"] for r in
+           degree_histogram(df).collect()}
+    # out: hub deg 5 (bin 3), x1..x5 deg 1 (bin 1); in mirrors it
+    assert got == {("out", 3): 1, ("out", 1): 5, ("in", 3): 1, ("in", 1): 5}
