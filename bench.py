@@ -105,6 +105,7 @@ EXTENDED = [
     "kg_diff",
     "entity_properties",
     "degree_histogram",
+    "version_intervals",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

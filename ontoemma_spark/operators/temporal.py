@@ -144,6 +144,54 @@ def asof_join(
     )
 
 
+def version_intervals(
+    facts: DataFrame,
+    on: str | list[str],
+    fact_ts: str = "valid_from",
+    open_end: int | None = None,
+) -> DataFrame:
+    """Versioned facts → SCD-2 validity intervals: each version gains a
+    ``valid_to`` = the next version's ``valid_from`` for its key (the
+    current version gets ``open_end``, default null = still valid).
+    The inverse view of ``asof_join``: as-of probes resolve against
+    versions, BI-style interval scans and ``interval_join`` want the
+    half-open [valid_from, valid_to) form.
+
+    Duplicate versions at the same (key, ts) are collapsed to the
+    deterministic max-struct first (same contract as asof_join). Plan
+    shape: two exchanges — the dedup aggregate partitions on
+    (key, ts) with a map-side partial (duplicates combine BEFORE they
+    travel), then the lead() window re-partitions on the key alone.
+    Collapsing both into one key-partitioned window (dedup via
+    lag(ts) != ts) would save the exchange but ship every duplicate
+    through the shuffle; version tables are dup-heavy at crawl scale,
+    so the combiner wins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in facts.columns if c not in keys and c != fact_ts]
+    versions = (
+        facts.select(
+            *keys,
+            F.struct(
+                F.col(fact_ts).alias("_ts"), *[F.col(c) for c in payload]
+            ).alias("_fact"),
+        )
+        .groupBy(*keys, "_fact._ts")
+        .agg(F.max("_fact").alias("_fact"))
+        .select(*keys, "_fact")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("_fact._ts"))
+    end = F.lead("_fact._ts").over(w)
+    if open_end is not None:
+        end = F.coalesce(end, F.lit(open_end))
+    return versions.select(
+        *keys,
+        F.col("_fact._ts").alias(fact_ts),
+        end.cast(versions.schema["_fact"].dataType["_ts"].dataType).alias("valid_to"),
+        *[F.col(f"_fact.{c}").alias(c) for c in payload],
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

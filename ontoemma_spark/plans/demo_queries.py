@@ -1953,6 +1953,44 @@ SELECT qid, key, ts, valid_from, val FROM j WHERE rn = 1
 """
 
 
+# 17v2. version_intervals — SCD-2 validity windows from versioned facts
+def q_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned facts → half-open validity intervals
+    (temporal.version_intervals): valid_to = next version's
+    valid_from per entity, open end filled with 10**6 so the column
+    stays bigint-comparable across engines. Same fact synthesis as
+    kg_asof — the two queries are inverse views of one versioned
+    state."""
+    from ontoemma_spark.operators.temporal import version_intervals
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    facts = docs.select(
+        F.concat(F.lit("e"), (d % 40).cast("string")).alias("key"),
+        (F.floor(d / 40) * 10).cast("bigint").alias("valid_from"),
+        F.concat(F.lit("o"), (F.floor(d / 40) % 3).cast("string")).alias("val"),
+    )
+    return version_intervals(facts, on="key", open_end=10**6).select(
+        "key", "valid_from", "valid_to", "val"
+    )
+
+
+SQL_VERSION_INTERVALS = """
+WITH facts AS (
+  SELECT DISTINCT 'e' || CAST(doc_id % 40 AS VARCHAR) AS key,
+         CAST((doc_id // 40) * 10 AS BIGINT) AS valid_from,
+         'o' || CAST((doc_id // 40) % 3 AS VARCHAR) AS val
+  FROM documents
+)
+SELECT key, valid_from,
+       COALESCE(LEAD(valid_from) OVER (PARTITION BY key
+                                       ORDER BY valid_from),
+                1000000) AS valid_to,
+       val
+FROM facts
+"""
+
+
 # 17w. interval_points — fetch-time → crawl-window assignment
 def q_interval_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval join (temporal.interval_join): 20 overlapping
@@ -5815,7 +5853,7 @@ QUERIES: dict[str, callable] = {
     # the identical DuckDB comparison over ALL entries at sf0.01).
     # Front block as of r5: the new r5 queries (kg_asof,
     # interval_points, scc_components, kg_diff, entity_properties,
-    # degree_histogram, adamic_adar,
+    # degree_histogram, version_intervals, adamic_adar,
     # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
@@ -5834,6 +5872,7 @@ QUERIES: dict[str, callable] = {
     "kg_diff": q_kg_diff,
     "entity_properties": q_entity_properties,
     "degree_histogram": q_degree_histogram,
+    "version_intervals": q_version_intervals,
     "adamic_adar": q_adamic_adar,
     "triple_fusion": q_triple_fusion,
     "functional_resolve": q_functional_resolve,
@@ -5942,6 +5981,7 @@ QUERIES: dict[str, callable] = {
 
 ORACLES: dict[str, str] = {
     "kg_asof": SQL_KG_ASOF,
+    "version_intervals": SQL_VERSION_INTERVALS,
     "kg_diff": SQL_KG_DIFF,
     "entity_properties": SQL_ENTITY_PROPERTIES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,

@@ -7,7 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from ontoemma_spark.operators.components import strongly_connected_components
-from ontoemma_spark.operators.temporal import asof_join, interval_join
+from ontoemma_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    version_intervals,
+)
 
 
 def _facts(spark):
@@ -188,3 +192,63 @@ def test_scc_random_graph_vs_python_mutual_reachability(spark):
         got = {r["node"]: r["component"] for r in
                strongly_connected_components(df, max_rounds=30).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_version_intervals_scd2(spark):
+    out = version_intervals(_facts(spark), on="key")
+    got = {(r["key"], r["valid_from"]): (r["valid_to"], r["val"], r["ver"])
+           for r in out.collect()}
+    assert got == {
+        ("e1", 10): (20, "a", 1),
+        ("e1", 20): (None, "c", 3),   # dup ts collapsed max-struct; open end
+        ("e2", 5): (7, None, 4),
+        ("e2", 7): (None, "y", 5),
+    }
+    filled = {(r["key"], r["valid_from"]): r["valid_to"]
+              for r in version_intervals(_facts(spark), on="key",
+                                         open_end=999).collect()}
+    assert filled[("e1", 20)] == 999 and filled[("e2", 7)] == 999
+
+
+def test_asof_version_intervals_duality_hypothesis(spark):
+    """Property: asof_join(q, facts) returns exactly the version whose
+    [valid_from, valid_to) interval (from version_intervals) contains
+    the query ts — the two operators are inverse views of one state.
+    Checked against a brute-force python spec on seeded random data."""
+    import random
+
+    rnd = random.Random(23)
+    for trial in range(3):
+        fact_rows = sorted({
+            (f"k{rnd.randrange(4)}", rnd.randrange(0, 50) * 2)
+            for _ in range(12 + trial * 6)
+        })
+        facts_df = spark.createDataFrame(
+            [(k, t, f"v{t}") for k, t in fact_rows],
+            "key string, valid_from bigint, val string",
+        )
+        q_rows = [(i, f"k{rnd.randrange(5)}", rnd.randrange(-5, 110))
+                  for i in range(25)]
+        qs = spark.createDataFrame(q_rows, "qid bigint, key string, ts bigint")
+
+        by_key: dict[str, list[int]] = {}
+        for k, t in fact_rows:
+            by_key.setdefault(k, []).append(t)
+        def spec(k, ts):
+            older = [t for t in by_key.get(k, []) if t <= ts]
+            return f"v{max(older)}" if older else None
+
+        got = {r["qid"]: r["val"] for r in
+               asof_join(qs, facts_df, on="key", query_ts="ts",
+                         fact_ts="valid_from").collect()}
+        want = {qid: spec(k, ts) for qid, k, ts in q_rows}
+        assert got == want, f"trial {trial}"
+
+        # duality: interval containment picks the same version
+        iv = {(r["key"], r["valid_from"]):
+              (10**9 if r["valid_to"] is None else r["valid_to"])
+              for r in version_intervals(facts_df, on="key").collect()}
+        for qid, k, ts in q_rows:
+            hits = [f"v{vf}" for (kk, vf), vt in iv.items()
+                    if kk == k and vf <= ts < vt]
+            assert (hits[0] if hits else None) == want[qid]
