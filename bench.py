@@ -106,6 +106,7 @@ EXTENDED = [
     "entity_properties",
     "degree_histogram",
     "version_intervals",
+    "neighborhood_sizes",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

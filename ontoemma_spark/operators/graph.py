@@ -768,6 +768,79 @@ def degree_histogram(
     )
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    m: int | None = None,
+) -> DataFrame:
+    """HyperANF (Boldi-Rosa-Vigna 2011): per-node, per-hop
+    neighborhood-function estimates — |{u : dist(v→u) <= h}| for
+    h = 0..rounds — via HLL registers propagated with element-wise
+    max along out-edges. THE way to estimate reachable-set sizes and
+    effective diameter on a web graph: exact per-node BFS is
+    O(V·E); this is `rounds` equi-joins over V rows of m-int
+    sketches, every aggregate map-side combinable.
+
+    Correctness identity (what the oracle twin checks): max is
+    associative/commutative/idempotent, so registers propagated h
+    times EQUAL the registers built directly over the exact <= h-hop
+    reachable set — the estimate after round h is literally
+    hll_estimate(reachable-set sketch), error ~1.04/sqrt(m).
+
+    Output: (node, hop, est) for every node and hop 0..rounds; hop 0
+    estimates the singleton {v} (1.0 by linear counting). Per-round
+    state is localCheckpointed (the CC lineage contract). The
+    element-wise-max aggregate runs as m max() columns — map-side
+    partials, one shuffle per round, never a collect.
+    """
+    from ontoemma_spark.operators import sketch as SK
+
+    m = SK.HLL_M if m is None else m
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    regs = SK.hll_sketch(nodes, ["node"], "node", m=m).localCheckpoint(eager=True)
+
+    def est(df, hop):
+        return df.select(
+            "node",
+            F.lit(hop).cast("bigint").alias("hop"),
+            F.round(SK.hll_estimate(F.col("hll"), m=m), 4).alias("est"),
+        )
+
+    outs = [est(regs, 0)]
+    for h in range(1, rounds + 1):
+        msgs = e.join(regs.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "hll"
+        )
+        regs = (
+            regs.unionByName(msgs)
+            .select("node", *[F.col("hll")[i].alias(f"_r{i}") for i in range(m)])
+            .groupBy("node")
+            .agg(*[F.max(f"_r{i}").alias(f"_r{i}") for i in range(m)])
+            .select(
+                "node",
+                F.array(*[f"_r{i}" for i in range(m)]).cast("array<int>").alias("hll"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        outs.append(est(regs, h))
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",

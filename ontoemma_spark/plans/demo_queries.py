@@ -1452,6 +1452,97 @@ GROUP BY e.host, e.e
 SQL_HLL_DISTINCT = _hll_sql()
 
 
+# 17ab. neighborhood_sizes — HyperANF per-hop reachable-set estimates
+def q_neighborhood_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (graph.neighborhood_function) over a directed mod-30
+    ring (v→v+1) with v→v+7 chords on every 3rd doc: per-node HLL
+    registers propagated 3 rounds with element-wise max. The twin
+    computes the EXACT <= h-hop reachable sets by unrolled joins and
+    rebuilds the registers from them with the same md5 arithmetic —
+    max's idempotent-merge identity makes propagation == rebuild, so
+    the driver verifies the propagation algebra itself, not just
+    numbers. round(4) absorbs the final ln/divide libm drift (same
+    convention as hll_distinct)."""
+    from ontoemma_spark.operators.graph import neighborhood_function
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(F.lit("n"), (c % 30).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    ring = docs.select(node(d).alias("src"), node(d + 1).alias("dst"))
+    chords = docs.filter(d % 3 == 0).select(
+        node(d).alias("src"), node(d + 7).alias("dst")
+    )
+    return neighborhood_function(ring.unionAll(chords), rounds=3)
+
+
+def _hyperanf_sql(rounds: int = 3) -> str:
+    """DuckDB twin of q_neighborhood_sizes: exact <= h-hop reachable
+    sets via unrolled joins, then the hll_distinct register/fold/
+    estimate chain (same md5 bucket/rho string arithmetic) per hop."""
+    from ontoemma_spark.operators.sketch import HLL_M, _NIBBLE_ZEROS, _alpha
+
+    nib_case = " ".join(
+        f"WHEN '{ch}' THEN {z}" for ch, z in _NIBBLE_ZEROS.items()
+    )
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'n' || CAST(doc_id % 30 AS VARCHAR) AS src,
+           'n' || CAST((doc_id + 1) % 30 AS VARCHAR) AS dst FROM documents
+    UNION ALL
+    SELECT 'n' || CAST(doc_id % 30 AS VARCHAR),
+           'n' || CAST((doc_id + 7) % 30 AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 0
+  ) WHERE src <> dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), r0 AS (
+  SELECT node, node AS mem FROM nodes
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""", r{k} AS (
+  SELECT node, mem FROM r{k - 1}
+  UNION
+  SELECT e.src, r.mem FROM e JOIN r{k - 1} r ON r.node = e.dst
+)""")
+    for k in range(rounds + 1):
+        parts.append(f""", hashed{k} AS (
+  SELECT node,
+         CAST('0x' || substr(md5(mem), 1, 2) AS BIGINT) % {HLL_M} AS bucket,
+         length(regexp_extract(substr(md5(mem), 3, 13), '^0*')) AS zeros,
+         substr(regexp_replace(substr(md5(mem), 3, 13), '^0*', ''), 1, 1) AS fnz
+  FROM r{k}
+), regs{k} AS (
+  SELECT node, bucket,
+         max(CASE WHEN zeros = 13 THEN 53
+                  ELSE zeros * 4 + (CASE fnz {nib_case} ELSE 0 END) + 1
+             END) AS mr
+  FROM hashed{k} GROUP BY node, bucket
+), folded{k} AS (
+  SELECT node,
+         sum(pow(2.0, -mr)) + ({HLL_M} - count(*)) AS inv_sum,
+         {HLL_M} - count(*) AS v
+  FROM regs{k} GROUP BY node
+), est{k} AS (
+  SELECT node, CAST({k} AS BIGINT) AS hop,
+         round(CASE WHEN v = {HLL_M} THEN 0.0
+              WHEN {_alpha(HLL_M)!r} * {HLL_M * HLL_M} / inv_sum
+                   <= 2.5 * {HLL_M} AND v > 0
+                THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / v)
+              ELSE {_alpha(HLL_M)!r} * {HLL_M * HLL_M} / inv_sum
+         END, 4) AS est
+  FROM folded{k}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT node, hop, est FROM est{k}" for k in range(rounds + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+SQL_NEIGHBORHOOD_SIZES = _hyperanf_sql()
+
+
 # 17p. triangle_stats — degree-ordered triangle counting + clustering
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts and clustering coefficient
@@ -5853,7 +5944,8 @@ QUERIES: dict[str, callable] = {
     # the identical DuckDB comparison over ALL entries at sf0.01).
     # Front block as of r5: the new r5 queries (kg_asof,
     # interval_points, scc_components, kg_diff, entity_properties,
-    # degree_histogram, version_intervals, adamic_adar,
+    # degree_histogram, version_intervals, neighborhood_sizes,
+    # adamic_adar,
     # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
@@ -5873,6 +5965,7 @@ QUERIES: dict[str, callable] = {
     "entity_properties": q_entity_properties,
     "degree_histogram": q_degree_histogram,
     "version_intervals": q_version_intervals,
+    "neighborhood_sizes": q_neighborhood_sizes,
     "adamic_adar": q_adamic_adar,
     "triple_fusion": q_triple_fusion,
     "functional_resolve": q_functional_resolve,
@@ -5982,6 +6075,7 @@ QUERIES: dict[str, callable] = {
 ORACLES: dict[str, str] = {
     "kg_asof": SQL_KG_ASOF,
     "version_intervals": SQL_VERSION_INTERVALS,
+    "neighborhood_sizes": SQL_NEIGHBORHOOD_SIZES,
     "kg_diff": SQL_KG_DIFF,
     "entity_properties": SQL_ENTITY_PROPERTIES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,

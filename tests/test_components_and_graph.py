@@ -905,3 +905,40 @@ def test_degree_histogram_bins(spark):
            degree_histogram(df).collect()}
     # out: hub deg 5 (bin 3), x1..x5 deg 1 (bin 1); in mirrors it
     assert got == {("out", 3): 1, ("out", 1): 5, ("in", 3): 1, ("in", 1): 5}
+
+
+def test_neighborhood_function_vs_exact_bfs(spark):
+    """HyperANF estimates track exact <= h-hop reachable-set sizes on a
+    seeded random digraph within the m=64 sketch error (generous 3x
+    the 1.04/sqrt(64) = 13% theoretical band for tiny sets)."""
+    import random
+
+    from ontoemma_spark.operators.graph import neighborhood_function
+
+    rnd = random.Random(7)
+    edges = sorted({
+        (f"v{rnd.randrange(20)}", f"v{rnd.randrange(20)}") for _ in range(45)
+    })
+    adj: dict[str, set] = {}
+    nodes = sorted({v for e in edges for v in e})
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+
+    def reach(v, hops):
+        seen = {v}
+        frontier = {v}
+        for _ in range(hops):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - seen
+            seen |= frontier
+        return len(seen)
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["node"], r["hop"]): r["est"]
+           for r in neighborhood_function(df, rounds=2).collect()}
+    assert set(got) == {(v, h) for v in nodes for h in range(3)}
+    for v in nodes:
+        for h in range(3):
+            exact = reach(v, h)
+            assert abs(got[(v, h)] - exact) <= max(1.5, 0.4 * exact), (
+                v, h, exact, got[(v, h)])
