@@ -5952,11 +5952,14 @@ QUERIES: dict[str, callable] = {
     # bloom_gated_dedup,
     # kg_edge_weights, entity_pmi, anchor_profile, bloom_url_seen,
     # lsh_hot_band_cap) first,
+    # then the three r4 reds whose oracle twins were CAST-fixed this
+    # round (token_budget, paragraph_dedup, web_dedup_pass — pinned at
+    # positions 26-28, INSIDE the window, so the driver re-verifies the
+    # fix; they had drifted to 62-64 as new queries landed),
     # then the 36 queries the r4 driver did not reach (dedup_exact ..
-    # mesh_load, last driver-green r1-r3), then the three r4 reds whose
-    # oracle twins were CAST-fixed this round (token_budget,
-    # paragraph_dedup, web_dedup_pass) so the driver re-verifies the
-    # fix, then the 47 r4-exact-greens.
+    # mesh_load, last driver-green r1-r3; the ones past position 50
+    # stay pinned by tests/test_entry_oracle.py), then the 47
+    # r4-exact-greens.
     # ------------------------------------------------------------------
     "kg_asof": q_kg_asof,
     "interval_points": q_interval_points,
@@ -5984,6 +5987,12 @@ QUERIES: dict[str, callable] = {
     "anchor_profile": q_anchor_profile,
     "bloom_url_seen": q_bloom_url_seen,
     "lsh_hot_band_cap": q_lsh_hot_band_cap,
+    # the three r4 reds whose oracle twins were CAST-fixed this round —
+    # kept INSIDE the first-50 driver window so CORRECTNESS_r5 records
+    # the flip to green (they drifted to 62-64 as new queries landed)
+    "token_budget": q_token_budget,
+    "paragraph_dedup": q_paragraph_dedup,
+    "web_dedup_pass": q_web_dedup_pass,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_dup_candidates": q_lsh_dup_candidates,
@@ -6020,9 +6029,6 @@ QUERIES: dict[str, callable] = {
     "kb_validate_filter": q_kb_validate_filter,
     "kb_json_roundtrip": q_kb_json_roundtrip,
     "mesh_load": q_mesh_load,
-    "token_budget": q_token_budget,
-    "paragraph_dedup": q_paragraph_dedup,
-    "web_dedup_pass": q_web_dedup_pass,
     "substring_removal": q_substring_removal,
     "host_split": q_host_split,
     "frame_sample": q_frame_sample,
