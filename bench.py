@@ -107,6 +107,7 @@ EXTENDED = [
     "degree_histogram",
     "version_intervals",
     "neighborhood_sizes",
+    "harmonic_centrality",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

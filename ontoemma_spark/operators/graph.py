@@ -841,6 +841,43 @@ def neighborhood_function(
     return out
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    m: int | None = None,
+) -> DataFrame:
+    """Approximate harmonic centrality (Boldi-Vigna, "Axioms for
+    Centrality": the one centrality satisfying all three axioms) via
+    HyperANF: H(v) = Σ_u 1/dist(u→v) ≈ Σ_h (N̂(v,h) − N̂(v,h−1))/h,
+    truncated at `rounds` hops — the standard in-core estimator for
+    web-scale graphs where exact all-pairs distances are hopeless.
+
+    Distance direction: centrality counts nodes that REACH v, so the
+    sketch propagation runs over reversed edges (HyperANF's N(v,h)
+    here = |{u : dist(u→v) <= h}|). Everything is plain column math
+    over neighborhood_function's output — one extra groupBy(node) sum,
+    no new propagation machinery. Estimates inherit the sketch error
+    (~1.04/sqrt(m) per hop count).
+
+    Output: (node, centrality) rounded to 4 (libm-drift convention).
+    """
+    nf = neighborhood_function(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")),
+        rounds=rounds,
+        m=m,
+    )
+    w = Window.partitionBy("node").orderBy("hop")
+    contrib = nf.select(
+        "node", "hop",
+        ((F.col("est") - F.lag("est", 1).over(w)) / F.col("hop")).alias("_c"),
+    ).filter(F.col("hop") > 0)
+    return contrib.groupBy("node").agg(
+        F.round(F.sum("_c"), 4).alias("centrality")
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",

@@ -1475,10 +1475,14 @@ def q_neighborhood_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(ring.unionAll(chords), rounds=3)
 
 
-def _hyperanf_sql(rounds: int = 3) -> str:
-    """DuckDB twin of q_neighborhood_sizes: exact <= h-hop reachable
-    sets via unrolled joins, then the hll_distinct register/fold/
-    estimate chain (same md5 bucket/rho string arithmetic) per hop."""
+def _hyperanf_sql(rounds: int = 3, reverse: bool = False,
+                  harmonic: bool = False) -> str:
+    """DuckDB twin of q_neighborhood_sizes / q_harmonic_centrality:
+    exact <= h-hop reachable sets via unrolled joins, then the
+    hll_distinct register/fold/estimate chain (same md5 bucket/rho
+    string arithmetic) per hop. reverse=True walks edges backwards
+    (who reaches v — the harmonic-centrality direction); harmonic=True
+    emits Σ_h (est_h − est_{h−1})/h instead of the per-hop rows."""
     from ontoemma_spark.operators.sketch import HLL_M, _NIBBLE_ZEROS, _alpha
 
     nib_case = " ".join(
@@ -1499,11 +1503,16 @@ WITH e AS (
 ), r0 AS (
   SELECT node, node AS mem FROM nodes
 )"""]
+    step = (
+        "SELECT e.dst, r.mem FROM e JOIN r{prev} r ON r.node = e.src"
+        if reverse
+        else "SELECT e.src, r.mem FROM e JOIN r{prev} r ON r.node = e.dst"
+    )
     for k in range(1, rounds + 1):
         parts.append(f""", r{k} AS (
   SELECT node, mem FROM r{k - 1}
   UNION
-  SELECT e.src, r.mem FROM e JOIN r{k - 1} r ON r.node = e.dst
+  {step.format(prev=k - 1)}
 )""")
     for k in range(rounds + 1):
         parts.append(f""", hashed{k} AS (
@@ -1533,14 +1542,49 @@ WITH e AS (
          END, 4) AS est
   FROM folded{k}
 )""")
-    sel = "\nUNION ALL\n".join(
-        f"SELECT node, hop, est FROM est{k}" for k in range(rounds + 1)
-    )
-    parts.append("\n" + sel)
+    if harmonic:
+        joins = " ".join(
+            f"JOIN est{k} e{k} USING (node)" for k in range(1, rounds + 1)
+        )
+        terms = " + ".join(
+            f"(e{k}.est - e{k - 1}.est) / {k}" for k in range(1, rounds + 1)
+        )
+        parts.append(
+            f"\nSELECT node, round({terms}, 4) AS centrality\n"
+            f"FROM est0 e0 {joins}"
+        )
+    else:
+        sel = "\nUNION ALL\n".join(
+            f"SELECT node, hop, est FROM est{k}" for k in range(rounds + 1)
+        )
+        parts.append("\n" + sel)
     return "".join(parts)
 
 
 SQL_NEIGHBORHOOD_SIZES = _hyperanf_sql()
+
+
+# 17ac. harmonic_centrality — Boldi-Vigna centrality from HyperANF
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (graph.harmonic_centrality) on the same
+    directed mod-30 ring+chords graph as neighborhood_sizes: H(v) ≈
+    Σ_h (N̂(v,h)−N̂(v,h−1))/h over 3 hops, with the sketch propagated
+    along REVERSED edges (who reaches v). The twin repeats the exact
+    reachable-set register rebuild backwards and the same truncated-sum
+    arithmetic."""
+    from ontoemma_spark.operators.graph import harmonic_centrality
+
+    docs = _t(spark, sf_dir, "documents")
+    node = lambda c: F.concat(F.lit("n"), (c % 30).cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    ring = docs.select(node(d).alias("src"), node(d + 1).alias("dst"))
+    chords = docs.filter(d % 3 == 0).select(
+        node(d).alias("src"), node(d + 7).alias("dst")
+    )
+    return harmonic_centrality(ring.unionAll(chords), rounds=3)
+
+
+SQL_HARMONIC_CENTRALITY = _hyperanf_sql(reverse=True, harmonic=True)
 
 
 # 17p. triangle_stats — degree-ordered triangle counting + clustering
@@ -5945,7 +5989,7 @@ QUERIES: dict[str, callable] = {
     # Front block as of r5: the new r5 queries (kg_asof,
     # interval_points, scc_components, kg_diff, entity_properties,
     # degree_histogram, version_intervals, neighborhood_sizes,
-    # adamic_adar,
+    # harmonic_centrality, adamic_adar,
     # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
@@ -5969,6 +6013,7 @@ QUERIES: dict[str, callable] = {
     "degree_histogram": q_degree_histogram,
     "version_intervals": q_version_intervals,
     "neighborhood_sizes": q_neighborhood_sizes,
+    "harmonic_centrality": q_harmonic_centrality,
     "adamic_adar": q_adamic_adar,
     "triple_fusion": q_triple_fusion,
     "functional_resolve": q_functional_resolve,
@@ -6082,6 +6127,7 @@ ORACLES: dict[str, str] = {
     "kg_asof": SQL_KG_ASOF,
     "version_intervals": SQL_VERSION_INTERVALS,
     "neighborhood_sizes": SQL_NEIGHBORHOOD_SIZES,
+    "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "kg_diff": SQL_KG_DIFF,
     "entity_properties": SQL_ENTITY_PROPERTIES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,

@@ -942,3 +942,37 @@ def test_neighborhood_function_vs_exact_bfs(spark):
             exact = reach(v, h)
             assert abs(got[(v, h)] - exact) <= max(1.5, 0.4 * exact), (
                 v, h, exact, got[(v, h)])
+
+
+def test_harmonic_centrality_vs_exact(spark):
+    """Sketch-estimated harmonic centrality tracks the exact truncated
+    harmonic sum (3 hops, reversed-reachability) on a seeded digraph."""
+    import random
+
+    from ontoemma_spark.operators.graph import harmonic_centrality
+
+    rnd = random.Random(13)
+    edges = sorted({
+        (f"v{rnd.randrange(18)}", f"v{rnd.randrange(18)}") for _ in range(40)
+    })
+    radj: dict[str, set] = {}
+    nodes = sorted({v for e in edges for v in e})
+    for s, d in edges:
+        if s != d:
+            radj.setdefault(d, set()).add(s)  # reversed: who reaches v
+
+    def exact_h(v, hops=3):
+        seen, frontier, h = {v}, {v}, 0.0
+        for k in range(1, hops + 1):
+            frontier = {w for u in frontier for w in radj.get(u, ())} - seen
+            seen |= frontier
+            h += len(frontier) / k
+        return h
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["centrality"]
+           for r in harmonic_centrality(df, rounds=3).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        exact = exact_h(v)
+        assert abs(got[v] - exact) <= max(1.5, 0.4 * exact), (v, exact, got[v])
