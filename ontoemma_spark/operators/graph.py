@@ -731,7 +731,7 @@ def entity_property_table(
         raise ValueError("predicates must be a non-empty explicit list")
     return (
         triples.filter(F.col(pred_col).isin(predicates))
-        .groupBy(F.col(subj_col).alias("subj"))
+        .groupBy(F.col(subj_col))
         .pivot(pred_col, predicates)
         .agg(F.max(obj_col))
     )

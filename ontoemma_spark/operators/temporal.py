@@ -38,6 +38,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _common_order_type(a, b) -> str:
+    """Cast target for ordering two timestamp-ish columns together:
+    'long' when both are integral (EXACT — epoch-ns above 2^53 must
+    not collide), 'timestamp' when both already are, else 'double'
+    (a side is fractional; its precision is already the caller's)."""
+    from pyspark.sql.types import IntegralType, TimestampType
+
+    if isinstance(a, IntegralType) and isinstance(b, IntegralType):
+        return "long"
+    if isinstance(a, TimestampType) and isinstance(b, TimestampType):
+        return "timestamp"
+    return "double"
+
+
+def _collapsed_versions(
+    facts: DataFrame, keys: list[str], fact_ts: str, payload: list[str]
+) -> DataFrame:
+    """One deterministic version per (key, ts): the whole version rides
+    in a `_fact` struct (ts first) and duplicates collapse to the
+    max-struct — shared by asof_join and version_intervals so their
+    tie-break contracts can never drift apart."""
+    fact_struct = F.struct(
+        F.col(fact_ts).alias("_ts"), *[F.col(c) for c in payload]
+    ).alias("_fact")
+    return (
+        facts.select(*keys, fact_struct)
+        .groupBy(*keys, "_fact._ts")
+        .agg(F.max("_fact").alias("_fact"))
+        .select(*keys, "_fact")
+    )
+
+
 def asof_join(
     queries: DataFrame,
     facts: DataFrame,
@@ -87,25 +119,29 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in facts.columns if c not in keys and c != fact_ts]
-    collide = set(payload) & set(queries.columns)
+    collide = (set(payload) | {fact_ts}) & set(queries.columns)
     if collide:
-        raise ValueError(f"fact payload collides with query columns: {sorted(collide)}")
+        raise ValueError(f"fact columns collide with query columns: {sorted(collide)}")
+    reserved = {"_t", "_side", "_fact", "_hit"} & (
+        set(queries.columns) | set(facts.columns)
+    )
+    if reserved:
+        raise ValueError(f"reserved internal column names in input: {sorted(reserved)}")
 
-    # one deterministic version per (key, ts): max-struct over payload
-    fact_struct = F.struct(
-        F.col(fact_ts).alias("_ts"), *[F.col(c) for c in payload]
-    ).alias("_fact")
-    versions = (
-        facts.select(*keys, fact_struct)
-        .groupBy(*keys, "_fact._ts")
-        .agg(F.max("_fact").alias("_fact"))
-        .select(*keys, "_fact")
+    versions = _collapsed_versions(facts, keys, fact_ts, payload)
+
+    # common ORDER type for the union: exact (long) when both sides are
+    # integral — a double cast silently collides epoch-nanosecond
+    # timestamps above 2^53 and can surface a fact NEWER than the
+    # query; double only when a side is already fractional.
+    t_order = _common_order_type(
+        queries.schema[query_ts].dataType, facts.schema[fact_ts].dataType
     )
 
     q_cols = queries.columns
     tagged_q = queries.select(
         *q_cols,
-        F.col(query_ts).cast("double").alias("_t"),
+        F.col(query_ts).cast(t_order).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(versions.schema["_fact"].dataType).alias("_fact"),
     )
@@ -114,7 +150,7 @@ def asof_join(
             F.col(k) if k in keys else F.lit(None).cast(queries.schema[k].dataType).alias(k)
             for k in q_cols
         ],
-        F.col("_fact._ts").cast("double").alias("_t"),
+        F.col("_fact._ts").cast(t_order).alias("_t"),
         F.lit(0).alias("_side"),
         "_fact",
     )
@@ -133,7 +169,8 @@ def asof_join(
         carried = carried.withColumn(
             "_hit",
             F.when(
-                F.col("_hit._ts") >= F.col("_t") - F.lit(float(tolerance)),
+                F.col("_hit._ts").cast(t_order)
+                >= F.col("_t") - F.lit(tolerance).cast(t_order),
                 F.col("_hit"),
             ),
         )
@@ -169,17 +206,7 @@ def version_intervals(
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in facts.columns if c not in keys and c != fact_ts]
-    versions = (
-        facts.select(
-            *keys,
-            F.struct(
-                F.col(fact_ts).alias("_ts"), *[F.col(c) for c in payload]
-            ).alias("_fact"),
-        )
-        .groupBy(*keys, "_fact._ts")
-        .agg(F.max("_fact").alias("_fact"))
-        .select(*keys, "_fact")
-    )
+    versions = _collapsed_versions(facts, keys, fact_ts, payload)
     w = Window.partitionBy(*keys).orderBy(F.col("_fact._ts"))
     end = F.lead("_fact._ts").over(w)
     if open_end is not None:
@@ -229,6 +256,13 @@ def interval_join(
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        raise ValueError(
+            f"points and intervals share column names: {sorted(shared)}"
+        )
+    if "_bucket" in set(points.columns) | set(intervals.columns):
+        raise ValueError("reserved internal column name in input: _bucket")
     iv = intervals.filter(F.col(end) > F.col(start))
     worst = iv.select(
         F.max(

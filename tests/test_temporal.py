@@ -73,7 +73,7 @@ def test_asof_tolerance_nulls_stale_match(spark):
 def test_asof_payload_collision_raises(spark):
     qs = spark.createDataFrame([(1, "e1", 5, "x")],
                                "qid bigint, key string, ts bigint, val string")
-    with pytest.raises(ValueError, match="collides"):
+    with pytest.raises(ValueError, match="collide"):
         asof_join(qs, _facts(spark), on="key", query_ts="ts",
                   fact_ts="valid_from")
 
