@@ -108,6 +108,7 @@ EXTENDED = [
     "version_intervals",
     "neighborhood_sizes",
     "harmonic_centrality",
+    "bow_tie",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

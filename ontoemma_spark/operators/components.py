@@ -103,7 +103,8 @@ def canonical_ids_from_matches(matches: DataFrame) -> DataFrame:
 
 
 def _min_reach_labels_bidir(
-    edges: DataFrame, nodes: DataFrame, max_iterations: int
+    edges: DataFrame, nodes: DataFrame, max_iterations: int,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """(node, label, blabel): label = min node id that can REACH node
     along directed edges, blabel = min node id node can reach (both
@@ -117,6 +118,14 @@ def _min_reach_labels_bidir(
     within the same direction): if m reaches v and k reaches m then k
     reaches v, giving O(log diameter) convergence like the undirected
     pointer jumping above.
+
+    seed_col: optional column ON `nodes` holding the initial label
+    (default the node id). SOUNDNESS CONSTRAINT for the compression
+    step: every seed value must be either the node's own id or a
+    sentinel that is NOT any node's id (label-of-label assumes a label
+    value that looks like a node id IS a node that reached here —
+    bow_tie_classes' below-everything core sentinel satisfies this,
+    arbitrary relabels would not).
     """
     edges2 = edges.select("src", "dst", F.lit("f").alias("dir")).union(
         edges.select(
@@ -126,9 +135,12 @@ def _min_reach_labels_bidir(
     )
     labels = (
         nodes.select(
-            "node", F.explode(F.array(F.lit("f"), F.lit("b"))).alias("dir")
+            "node",
+            F.explode(F.array(F.lit("f"), F.lit("b"))).alias("dir"),
+            (F.col("node") if seed_col is None else F.col(seed_col)).alias(
+                "label"
+            ),
         )
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
@@ -274,3 +286,80 @@ def strongly_connected_components(
     for part in done_parts[1:]:
         out = out.union(part)
     return out.select("node", "component")
+
+
+BOW_TIE_SENTINEL = "\x00"
+
+
+def bow_tie_classes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    max_iterations: int = config.CC_MAX_ITERATIONS,
+) -> DataFrame:
+    """Broder et al. (2000) bow-tie anatomy of a directed link graph:
+    every node classified as
+
+      core     — member of the LARGEST strongly connected component
+                 (ties broken by min component id, deterministically),
+      in       — reaches the core but is not in it,
+      out      — reached from the core but not in it,
+      tendril_or_disconnected — neither.
+
+    The first structural question asked of any crawl snapshot (is the
+    core shrinking? did a bad extraction round inflate IN?).
+
+    Composition, all bounded-iteration relational ops: SCC labels →
+    core pick (one 1-row argmax to the driver) → ONE bidirectional
+    min-label propagation seeded with a below-everything sentinel on
+    core nodes ("\\x00" — guarded against colliding with a real node
+    id): the forward label reaching v turns sentinel iff core reaches
+    v (OUT side), the backward label iff v reaches core (IN side) —
+    O(log diameter) rounds via the same transitive compression as SCC,
+    instead of an O(diameter) frontier BFS from the core.
+
+    Output: (node, component, cls). Empty input → empty output.
+    """
+    scc = strongly_connected_components(
+        edges, src=src, dst=dst, max_rounds=max_rounds,
+        max_iterations=max_iterations,
+    ).localCheckpoint(eager=True)
+    top = (
+        scc.groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("component"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return scc.withColumn("cls", F.lit(""))
+    core_id = top[0]["component"]
+    if scc.filter(F.col("node") == BOW_TIE_SENTINEL).limit(1).count():
+        raise ValueError(
+            "a node id equals the reserved bow-tie sentinel (chr 0)"
+        )
+    seeded = scc.withColumn(
+        "_seed",
+        F.when(F.col("component") == core_id, F.lit(BOW_TIE_SENTINEL))
+        .otherwise(F.col("node")),
+    )
+    live = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = _min_reach_labels_bidir(
+        live, seeded, max_iterations, seed_col="_seed"
+    )
+    sent = F.lit(BOW_TIE_SENTINEL)
+    return scc.join(reach, "node").select(
+        "node",
+        "component",
+        F.when(F.col("component") == core_id, F.lit("core"))
+        .when(F.col("blabel") == sent, F.lit("in"))
+        .when(F.col("label") == sent, F.lit("out"))
+        .otherwise(F.lit("tendril_or_disconnected"))
+        .alias("cls"),
+    )

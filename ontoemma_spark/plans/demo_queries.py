@@ -2221,6 +2221,83 @@ SELECT node, MIN(m) AS component FROM mutual GROUP BY node
 """
 
 
+# 17x2. bow_tie — Broder web anatomy: core / in / out / tendrils
+def q_bow_tie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie classification (components.bow_tie_classes) over a
+    fixture with the full anatomy: one 12-cycle (nodes n00-n11, the
+    unique largest SCC = core), a block the core points into (n12-n17:
+    OUT), a block that points into the core (n18-n23: IN), six
+    disconnected 6-cycles (tendril_or_disconnected), and two
+    periphery singletons (nz0 → core: IN; core → nz1: OUT). The twin
+    recomputes SCCs by recursive-CTE mutual reachability, picks the
+    same deterministic core (max size, tie → min id), and classifies
+    by reachability to/from it."""
+    from ontoemma_spark.operators.components import bow_tie_classes
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 60
+    node = lambda c: F.concat(F.lit("n"), F.lpad(c.cast("string"), 2, "0"))  # noqa: E731
+    ring = docs.select(
+        node(i).alias("src"),
+        F.when(i < 12, node((i + 1) % 12))
+        .otherwise(node(F.floor(i / 6) * 6 + (i % 6 + 1) % 6))
+        .alias("dst"),
+    )
+    one = docs.filter(F.col("doc_id") == 0)
+    extras = (
+        one.select(F.lit("n00").alias("src"), F.lit("n12").alias("dst"))
+        .unionAll(one.select(F.lit("n18"), F.lit("n00")))
+        .unionAll(one.select(F.lit("nz0"), F.lit("n00")))
+        .unionAll(one.select(F.lit("n05"), F.lit("nz1")))
+    )
+    return bow_tie_classes(ring.unionAll(extras))
+
+
+SQL_BOW_TIE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'n' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS src,
+           CASE WHEN doc_id % 60 < 12
+                THEN 'n' || lpad(CAST((doc_id % 60 + 1) % 12 AS VARCHAR), 2, '0')
+                ELSE 'n' || lpad(CAST(((doc_id % 60) // 6) * 6
+                                      + ((doc_id % 60) % 6 + 1) % 6 AS VARCHAR),
+                                 2, '0')
+           END AS dst
+    FROM documents
+    UNION ALL SELECT 'n00', 'n12'
+    UNION ALL SELECT 'n18', 'n00'
+    UNION ALL SELECT 'nz0', 'n00'
+    UNION ALL SELECT 'n05', 'nz1'
+  ) WHERE src <> dst
+), reach(s, d) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.s, e2.dst FROM reach r JOIN e e2 ON e2.src = r.d
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), mutual AS (
+  SELECT node, node AS m FROM nodes
+  UNION
+  SELECT a.s, a.d FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+), scc AS (
+  SELECT node, MIN(m) AS component FROM mutual GROUP BY node
+), core AS (
+  SELECT component FROM scc GROUP BY component
+  ORDER BY COUNT(*) DESC, component LIMIT 1
+), core_nodes AS (
+  SELECT node FROM scc WHERE component = (SELECT component FROM core)
+)
+SELECT s.node, s.component,
+       CASE WHEN s.component = (SELECT component FROM core) THEN 'core'
+            WHEN EXISTS (SELECT 1 FROM reach r JOIN core_nodes c
+                         ON r.s = s.node AND r.d = c.node) THEN 'in'
+            WHEN EXISTS (SELECT 1 FROM reach r JOIN core_nodes c
+                         ON r.s = c.node AND r.d = s.node) THEN 'out'
+            ELSE 'tendril_or_disconnected' END AS cls
+FROM scc s
+"""
+
+
 # 17y. kg_diff — added/removed/kept audit between two KG snapshots
 def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (graph.snapshot_diff): the old snapshot holds
@@ -5981,7 +6058,7 @@ QUERIES: dict[str, callable] = {
     # Front block as of r5: the new r5 queries (kg_asof,
     # interval_points, scc_components, kg_diff, entity_properties,
     # degree_histogram, version_intervals, neighborhood_sizes,
-    # harmonic_centrality, adamic_adar,
+    # harmonic_centrality, bow_tie, adamic_adar,
     # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
@@ -6007,6 +6084,7 @@ QUERIES: dict[str, callable] = {
     "version_intervals": q_version_intervals,
     "neighborhood_sizes": q_neighborhood_sizes,
     "harmonic_centrality": q_harmonic_centrality,
+    "bow_tie": q_bow_tie,
     "adamic_adar": q_adamic_adar,
     "triple_fusion": q_triple_fusion,
     "functional_resolve": q_functional_resolve,
@@ -6121,6 +6199,7 @@ ORACLES: dict[str, str] = {
     "version_intervals": SQL_VERSION_INTERVALS,
     "neighborhood_sizes": SQL_NEIGHBORHOOD_SIZES,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
+    "bow_tie": SQL_BOW_TIE,
     "kg_diff": SQL_KG_DIFF,
     "entity_properties": SQL_ENTITY_PROPERTIES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,

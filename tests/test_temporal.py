@@ -252,3 +252,25 @@ def test_asof_version_intervals_duality_hypothesis(spark):
             hits = [f"v{vf}" for (kk, vf), vt in iv.items()
                     if kk == k and vf <= ts < vt]
             assert (hits[0] if hits else None) == want[qid]
+
+
+def test_bow_tie_hand_case(spark):
+    """Full anatomy on a hand graph: core {a,b,c}, IN chain e→d→a,
+    OUT chain c→f→g, disconnected pair, tendril hanging off IN."""
+    from ontoemma_spark.operators.components import bow_tie_classes
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "a"), ("e", "d"),
+         ("c", "f"), ("f", "g"),
+         ("x", "y"), ("e", "z")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["cls"] for r in bow_tie_classes(edges).collect()}
+    assert got == {"a": "core", "b": "core", "c": "core",
+                   "d": "in", "e": "in", "f": "out", "g": "out",
+                   "x": "tendril_or_disconnected",
+                   "y": "tendril_or_disconnected",
+                   "z": "tendril_or_disconnected"}
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert bow_tie_classes(empty).collect() == []
