@@ -1,7 +1,8 @@
-"""temporal.asof_join / temporal.interval_join semantics, plus the SCC
-operator's hand cases and a random-graph parity check vs a python
-Tarjan — the contracts the oracle queries can't isolate (tolerance,
-null-payload atomicity, guard failures, loud non-convergence)."""
+"""temporal.asof_join / version_intervals / interval_join semantics,
+plus the SCC and bow-tie operators' hand cases and random-digraph
+parity vs definitional mutual-reachability closures — the contracts
+the oracle queries can't isolate (tolerance, null-payload atomicity,
+guard failures, loud non-convergence, asof⇆interval duality)."""
 
 import pytest
 from pyspark.sql import functions as F
