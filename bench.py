@@ -109,6 +109,7 @@ EXTENDED = [
     "neighborhood_sizes",
     "harmonic_centrality",
     "bow_tie",
+    "boilerplate_removal",
 ]
 
 # headline queries: the shuffle-heavy / scale-relevant subset

@@ -207,6 +207,107 @@ def document_fingerprints(
     )
 
 
+def host_boilerplate_lines(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-host boilerplate line table: every line occurring in at
+    least ``min_frac`` of a host's documents (and at least
+    ``min_docs`` of them) — nav bars, cookie banners, footers. The
+    CC-Net / RefinedWeb per-domain line-dedup signal: corpus-wide
+    paragraph dedup (paragraph_dedup) can't catch host-local template
+    lines that are globally rare.
+
+    Lines are '\\n' splits, compared verbatim (including empty lines —
+    an empty line shared across a host's pages is template structure
+    too; callers who disagree filter the output). Counting is
+    per-document distinct (a line repeated inside one page counts
+    once).
+
+    Output: (host, line, n_docs, host_docs). Scale shape: one narrow
+    explode, two map-side-combinable grouped counts, one equi join of
+    the per-line counts against the per-host totals — no window, no
+    collect; at 10^12 pages both aggs partition by (host[, line]), the
+    exact key the crawl is naturally bucketed by.
+    """
+    base = docs.select(
+        F.col(host_col).alias("host"), F.col(id_col).alias("_doc"),
+        F.col(text_col).alias("_text"),
+    )
+    host_docs = base.groupBy("host").agg(
+        F.count_distinct("_doc").alias("host_docs")
+    )
+    lines = (
+        base.select(
+            "host", "_doc",
+            F.explode(F.split(F.coalesce("_text", F.lit("")), "\n")).alias("line"),
+        )
+        .distinct()
+        .groupBy("host", "line")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        lines.join(host_docs, "host")
+        .filter(
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (F.col("n_docs") >= F.col("host_docs") * F.lit(min_frac))
+        )
+        .select("host", "line", "n_docs", "host_docs")
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    boiler: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strip a host's boilerplate lines (from host_boilerplate_lines)
+    out of each document, preserving the order of surviving lines.
+    Returns (id, host, text) with text rebuilt by '\\n'-joining the
+    survivors (a fully-boilerplate page becomes the empty string —
+    the caller's gate decides its fate, same flags-style contract as
+    curation).
+
+    Shape: explode with posexplode (position kept), ONE left-anti
+    equi join on (host, line), order restored by an in-row
+    array_sort over (pos, line) structs — no window.
+    """
+    pos_lines = docs.select(
+        F.col(id_col).alias("_doc"), F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    kept = pos_lines.join(
+        boiler.select("host", "line"), ["host", "line"], "left_anti"
+    )
+    rebuilt = kept.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    # left join back to the full doc set: a page whose EVERY line was
+    # boilerplate must come back as the empty string, not vanish
+    return (
+        docs.select(F.col(id_col), F.col(host_col).alias("host"))
+        .join(rebuilt.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col, "host",
+            F.coalesce("_rebuilt", F.lit("")).alias(text_col),
+        )
+    )
+
+
 def line_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

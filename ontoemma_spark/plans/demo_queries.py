@@ -2298,6 +2298,72 @@ FROM scc s
 """
 
 
+# 17x3. boilerplate_removal — per-host template-line strip (RefinedWeb)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate line removal (textstats.host_boilerplate_
+    lines → remove_boilerplate_lines): every page on a host shares a
+    TOP-nav and FOOTER line (≥min_frac of the host's docs → stripped);
+    'promo' appears on only half of host h0's pages (< min_frac=0.6 →
+    kept); the unique body line always survives. Corpus-wide paragraph
+    dedup can't catch these — the lines are host-local template, not
+    global repeats."""
+    from ontoemma_spark.operators.textstats import (
+        host_boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"))
+    pages = docs.select(
+        d.cast("bigint").alias("doc_id"),
+        host.alias("host"),
+        F.concat(
+            F.lit("TOP nav "), host, F.lit("\n"),
+            F.lit("body "), d.cast("string"),
+            F.when(d % 10 == 0, F.lit("\npromo")).otherwise(F.lit("")),
+            F.lit("\nFOOTER"),
+        ).alias("text"),
+    )
+    boiler = host_boilerplate_lines(pages, min_frac=0.6, min_docs=2)
+    return remove_boilerplate_lines(pages, boiler)
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+         'TOP nav h' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+         'body ' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'promo' ELSE '' END ||
+         chr(10) || 'FOOTER' AS text
+  FROM documents
+), hd AS (
+  SELECT host, COUNT(DISTINCT doc_id) AS host_docs FROM d GROUP BY host
+), pl AS (
+  SELECT doc_id, host,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+), lc AS (
+  SELECT host, line, COUNT(DISTINCT doc_id) AS n_docs
+  FROM pl GROUP BY host, line
+), boiler AS (
+  SELECT lc.host, lc.line FROM lc JOIN hd USING (host)
+  WHERE n_docs >= 2 AND n_docs >= host_docs * 0.6
+), kept AS (
+  SELECT p.doc_id, p.line, p.pos FROM pl p
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                    WHERE b.host = p.host AND b.line = p.line)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos, line) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, d.host, COALESCE(r.text, '') AS text
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # 17y. kg_diff — added/removed/kept audit between two KG snapshots
 def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (graph.snapshot_diff): the old snapshot holds
@@ -6058,7 +6124,7 @@ QUERIES: dict[str, callable] = {
     # Front block as of r5: the new r5 queries (kg_asof,
     # interval_points, scc_components, kg_diff, entity_properties,
     # degree_histogram, version_intervals, neighborhood_sizes,
-    # harmonic_centrality, bow_tie, adamic_adar,
+    # harmonic_centrality, bow_tie, boilerplate_removal, adamic_adar,
     # triple_fusion, functional_resolve, hits_scores,
     # label_communities, triple_canonicalize, kg_upsert, hll_distinct,
     # triangle_stats, k_core, random_walks, taxonomy_closure,
@@ -6085,6 +6151,7 @@ QUERIES: dict[str, callable] = {
     "neighborhood_sizes": q_neighborhood_sizes,
     "harmonic_centrality": q_harmonic_centrality,
     "bow_tie": q_bow_tie,
+    "boilerplate_removal": q_boilerplate_removal,
     "adamic_adar": q_adamic_adar,
     "triple_fusion": q_triple_fusion,
     "functional_resolve": q_functional_resolve,
@@ -6200,6 +6267,7 @@ ORACLES: dict[str, str] = {
     "neighborhood_sizes": SQL_NEIGHBORHOOD_SIZES,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "bow_tie": SQL_BOW_TIE,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "kg_diff": SQL_KG_DIFF,
     "entity_properties": SQL_ENTITY_PROPERTIES,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,

@@ -536,3 +536,36 @@ def test_bloom_gated_dedup_exact_under_forced_fps(spark):
     probed = bloom_probe(batch, state, m_bits=64, k=2)
     n_maybe = probed.filter(F.col("maybe_seen")).count()
     assert n_maybe > 40, "expected forced false positives at m_bits=64"
+
+
+def test_host_boilerplate_lines_and_removal(spark):
+    """Per-host template-line strip: threshold math (min_frac AND
+    min_docs), all-boiler page → empty string (not a dropped row),
+    order preserved, host isolation (same line on another host with
+    low share survives)."""
+    from ontoemma_spark.operators.textstats import (
+        host_boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        # host A: 4 docs, NAV on all, promo on 2/4 (< 0.6), unique bodies
+        (1, "A", "NAV\nbody1\npromo"),
+        (2, "A", "NAV\nbody2\npromo"),
+        (3, "A", "NAV\nbody3"),
+        (4, "A", "NAV"),                      # all-boiler page
+        # host B: 2 docs; NAV also here but on only one (min_docs=2 floor)
+        (5, "B", "NAV\nbodyB"),
+        (6, "B", "other\nbodyB2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    boiler = {(r["host"], r["line"])
+              for r in host_boilerplate_lines(docs, min_frac=0.6).collect()}
+    assert boiler == {("A", "NAV")}  # promo 2/4 < 0.6; B's NAV only 1 doc
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(
+        docs, host_boilerplate_lines(docs, min_frac=0.6)).collect()}
+    assert out == {
+        1: "body1\npromo", 2: "body2\npromo", 3: "body3",
+        4: "",                                  # page kept, emptied
+        5: "NAV\nbodyB", 6: "other\nbodyB2",    # host B untouched
+    }
