@@ -232,12 +232,17 @@ def host_boilerplate_lines(
     explode, two map-side-combinable grouped counts, one equi join of
     the per-line counts against the per-host totals — no window, no
     collect; at 10^12 pages both aggs partition by (host[, line]), the
-    exact key the crawl is naturally bucketed by.
+    exact key the crawl is naturally bucketed by. The projected input
+    is persisted MEMORY_AND_DISK (it feeds both counts — without it
+    Catalyst re-scans the corpus per consumer, the r4 extract-union
+    lesson; lazy result, the caller owns materialization).
     """
+    from pyspark import StorageLevel
+
     base = docs.select(
         F.col(host_col).alias("host"), F.col(id_col).alias("_doc"),
         F.col(text_col).alias("_text"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     host_docs = base.groupBy("host").agg(
         F.count_distinct("_doc").alias("host_docs")
     )
@@ -276,7 +281,12 @@ def remove_boilerplate_lines(
 
     Shape: explode with posexplode (position kept), ONE left-anti
     equi join on (host, line), order restored by an in-row
-    array_sort over (pos, line) structs — no window.
+    array_sort over (pos, line) structs — no window. The input is
+    consumed twice (line table + the keep-every-page left join), so
+    callers composing this after host_boilerplate_lines should
+    persist the page projection once upstream; the operator itself
+    stays lazy and persist-free to avoid double-caching the corpus
+    when the caller already did.
     """
     pos_lines = docs.select(
         F.col(id_col).alias("_doc"), F.col(host_col).alias("host"),

@@ -2325,6 +2325,9 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nFOOTER"),
         ).alias("text"),
     )
+    from pyspark import StorageLevel
+
+    pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
     boiler = host_boilerplate_lines(pages, min_frac=0.6, min_docs=2)
     return remove_boilerplate_lines(pages, boiler)
 
