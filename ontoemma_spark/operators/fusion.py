@@ -143,13 +143,32 @@ def host_reliability(
                 .groupBy("subj", "pred", "obj")
                 .agg(F.sum("reliability").alias("w"))
             )
+            # argmax on the ROUNDED weight: the raw double sum's
+            # cross-partition addition order wobbles the last ulp, so
+            # mathematically tied objects would resolve by luck and the
+            # obj tie-break would never engage; round(9) makes real
+            # ties compare equal on every engine (twin rounds the same)
             winners = (
                 weighted.groupBy("subj", "pred")
-                .agg(F.max(F.struct("w", "obj")).alias("top"))
+                .agg(
+                    F.max(
+                        F.struct(F.round(F.col("w"), 9).alias("w"), "obj")
+                    ).alias("top")
+                )
                 .select("subj", "pred", F.col("top.obj").alias("obj"))
             )
+            # null-SAFE match: a claim whose winning object is NULL
+            # still agrees with the majority — a null-unsafe semi join
+            # would deflate every host asserting it
             matched = (
-                c.join(winners, ["subj", "pred", "obj"], "left_semi")
+                c.alias("cl")
+                .join(
+                    winners.alias("wn"),
+                    F.col("cl.subj").eqNullSafe(F.col("wn.subj"))
+                    & F.col("cl.pred").eqNullSafe(F.col("wn.pred"))
+                    & F.col("cl.obj").eqNullSafe(F.col("wn.obj")),
+                    "left_semi",
+                )
                 .groupBy("host")
                 .agg(F.count(F.lit(1)).alias("matched"))
             )
@@ -201,15 +220,36 @@ def resolve_functional(
         )
     else:
         c = c.withColumn("reliability", F.lit(float(prior)))
+    from pyspark import StorageLevel
+
+    # votes feeds BOTH union branches — persist so the distinct+join+
+    # groupBy chain runs once, not twice (lazy result, caller owns
+    # materialization; re-scan-audit convention)
     votes = c.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).alias("support"),
         F.sum("reliability").alias("weight"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # null pred is NOT a functional predicate — isin() yields NULL for
+    # it, and a bare where(fn)/where(~fn) pair silently deletes the row
+    # from both branches
+    fn = F.coalesce(
+        F.col("pred").isin(list(functional_preds)), F.lit(False)
     )
-    fn = F.col("pred").isin(list(functional_preds))
+    # argmax on the ROUNDED weight (see host_reliability: ulp-level
+    # sum-order wobble must not pick the winner); original weight rides
+    # along for the output
     resolved = (
         votes.where(fn)
         .groupBy("subj", "pred")
-        .agg(F.max(F.struct("weight", "support", "obj")).alias("top"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(F.col("weight"), 9).alias("wr"),
+                    "support", "obj",
+                    F.col("weight").alias("weight"),
+                )
+            ).alias("top")
+        )
         .select(
             "subj",
             "pred",

@@ -668,7 +668,18 @@ def upsert_edges(
                 F.col(f"c.{sketch_col}"), F.col(f"b.{sketch_col}"), m=sketch_m
             ).alias(sketch_col)
         )
-    return c.join(b, keys, "full_outer").select(*keys, *out)
+    # null-SAFE key equality: weighted_edges keeps null-key groups
+    # (groupBy treats NULL as a group), and a null-unsafe full outer
+    # never matches them — the same null-key edge would duplicate into
+    # the state on every merge instead of folding
+    cond = None
+    for k in keys:
+        this = F.col(f"c.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = this if cond is None else cond & this
+    key_out = [
+        F.coalesce(F.col(f"c.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ]
+    return c.join(b, cond, "full_outer").select(*key_out, *out)
 
 
 def snapshot_diff(
@@ -694,10 +705,17 @@ def snapshot_diff(
     smallest possible audit row).
     """
     keys = list(key_cols)
-    o = old.select(*keys).distinct().withColumn("_o", F.lit(1))
-    n = new.select(*keys).distinct().withColumn("_n", F.lit(1))
-    return o.join(n, keys, "full_outer").select(
-        *keys,
+    o = old.select(*keys).distinct().withColumn("_o", F.lit(1)).alias("o")
+    n = new.select(*keys).distinct().withColumn("_n", F.lit(1)).alias("n")
+    # null-SAFE key equality: a null-obj triple present in both
+    # snapshots is KEPT, not phantom added+removed (distinct() already
+    # treats nulls as equal; the join must agree)
+    cond = None
+    for k in keys:
+        this = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = this if cond is None else cond & this
+    return o.join(n, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys],
         F.when(F.col("_o").isNull(), F.lit("added"))
         .when(F.col("_n").isNull(), F.lit("removed"))
         .otherwise(F.lit("kept"))

@@ -36,10 +36,16 @@ ever rescanning history.
 
 Estimate (standard HLL):  E = alpha_m * m^2 / sum_j 2^(-M_j),
 with linear-counting fallback  E = m * ln(m / V)  when E <= 2.5 m and
-V = #zero registers > 0. The 2^(-M_j) terms are exact powers of two
-whose sum stays exactly representable in double (exponent span < 53
-bits), so Spark and DuckDB agree bit-for-bit up to the final ln/divide,
-which `round(..., 4)` absorbs.
+V = #zero registers > 0. The 2^(-M_j) terms are exact powers of two,
+and their sum is USUALLY exactly representable in double — but not
+always: terms span 2^0 down to 2^-53 while the total can exceed 1, so
+a sum mixing rho=1 registers with a rho~53 register needs more than
+53 mantissa bits and rounds, at which point Spark's dense left-fold
+and DuckDB's sparse-sum-plus-count fold may differ by ulps. The
+cross-engine agreement is therefore tolerance-based, not bit-for-bit:
+`round(..., 4)` absorbs both that and the final ln/divide libm drift
+(it would only flake if an estimate landed within ~1e-14 relative of
+a 0.5e-4 rounding boundary).
 """
 
 from __future__ import annotations

@@ -1953,7 +1953,7 @@ r0 AS (SELECT host, {prior!r} AS rel FROM nc)"""]
   SELECT subj, pred, obj FROM (
     SELECT subj, pred, obj,
            row_number() OVER (PARTITION BY subj, pred
-                              ORDER BY w DESC, obj DESC) AS rn
+                              ORDER BY round(w, 9) DESC, obj DESC) AS rn
     FROM w{i}
   ) WHERE rn = 1
 ), m{i} AS (
@@ -1981,8 +1981,8 @@ SELECT subj, pred, obj, CAST(support AS BIGINT) AS support,
 FROM (
   SELECT subj, pred, obj, support, weight,
          row_number() OVER (PARTITION BY subj, pred
-                            ORDER BY weight DESC, support DESC, obj DESC
-                           ) AS rn
+                            ORDER BY round(weight, 9) DESC, support DESC,
+                                     obj DESC) AS rn
   FROM votes WHERE pred IN ('born_in', 'capital_of')
 ) WHERE rn = 1""")
     return "".join(parts)

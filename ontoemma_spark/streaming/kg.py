@@ -86,25 +86,57 @@ def apply_edge_batch(
     keep_versions: int = 2,
 ) -> None:
     """The foreachBatch body, callable directly for batch-mode tests.
-    Idempotent in batch_id (see module docstring)."""
-    spark = batch.sparkSession
-    consolidated = weighted_edges(
-        batch, key_cols=key_cols, page_col=page_col, ts_col=ts_col
-    )
-    sketched = consolidated.join(
-        hll_sketch(batch, list(key_cols), page_col, m=sketch_m),
-        list(key_cols),
-    )
-    current = read_edge_state(spark, state_dir, before=batch_id)
-    merged = (
-        sketched
-        if current is None
-        else upsert_edges(
-            current, sketched, key_cols=key_cols,
-            sketch_col="hll", sketch_m=sketch_m,
+    Idempotent in batch_id (see module docstring).
+
+    keep_versions must be 0 (keep everything) or >= 2: the replay
+    contract reads the PREDECESSOR version, so keep_versions=1 — which
+    deletes it right after writing v{batch_id} — would make a replayed
+    batch read current=None and silently replace the whole standing
+    table with that batch alone. Refused loudly.
+    """
+    from pyspark import StorageLevel
+
+    if keep_versions == 1:
+        raise ValueError(
+            "keep_versions=1 deletes the predecessor a replayed batch "
+            "must re-read (exactly-once breaks); use 0 (unlimited) or >= 2"
         )
-    )
-    merged.write.mode("overwrite").parquet(_version_path(state_dir, batch_id))
+    spark = batch.sparkSession
+    # the batch feeds TWO aggregates (weighted_edges + hll_sketch);
+    # unpersisted, the stream source is scanned twice per trigger
+    batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        consolidated = weighted_edges(
+            batch, key_cols=key_cols, page_col=page_col, ts_col=ts_col
+        )
+        # null-SAFE key join: weighted_edges and hll_sketch both keep
+        # null-key groups (groupBy treats NULL as a group); a
+        # null-unsafe equi join would silently drop those edges and
+        # diverge from the batch reference
+        sk = hll_sketch(batch, list(key_cols), page_col, m=sketch_m)
+        cond = None
+        for k in key_cols:
+            this = F.col(f"w.{k}").eqNullSafe(F.col(f"s.{k}"))
+            cond = this if cond is None else cond & this
+        sketched = (
+            consolidated.alias("w")
+            .join(sk.alias("s"), cond)
+            .select("w.*", F.col("s.hll").alias("hll"))
+        )
+        current = read_edge_state(spark, state_dir, before=batch_id)
+        merged = (
+            sketched
+            if current is None
+            else upsert_edges(
+                current, sketched, key_cols=key_cols,
+                sketch_col="hll", sketch_m=sketch_m,
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            _version_path(state_dir, batch_id)
+        )
+    finally:
+        batch.unpersist()
     prunable = _versions(state_dir)[:-keep_versions] if keep_versions else []
     for v in prunable:
         if v != batch_id:

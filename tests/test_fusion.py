@@ -185,3 +185,33 @@ def test_fuse_triples_belief_monotone_in_hosts(spark, trust):
     assert got["many"] > got["one"]
     assert abs(got["many"] - (1 - (1 - trust) ** 4)) < 1e-12
     assert abs(got["one"] - trust) < 1e-12
+
+
+def test_null_pred_and_null_obj_semantics(spark):
+    """Regressions from the r5 review: (1) a null-pred triple must pass
+    through resolve_functional's non-functional branch, not vanish from
+    both where(fn)/where(~fn); (2) a host whose claim names a NULL
+    winning object must count as matched in host_reliability (null-safe
+    winner join), not get its reliability deflated."""
+    trip = spark.createDataFrame(
+        [
+            ("s1", None, "x", "http://h1.ex/p1"),
+            ("s2", "born_in", None, "http://h1.ex/p2"),
+            ("s2", "born_in", None, "http://h2.ex/p3"),
+            ("s3", "works_at", "acme", "http://h2.ex/p4"),
+        ],
+        "subj string, pred string, obj string, url string",
+    )
+    out = {(r["subj"], r["pred"], r["obj"])
+           for r in resolve_functional(trip, ["born_in"]).collect()}
+    assert ("s1", None, "x") in out          # null pred kept (fan-out branch)
+    assert ("s2", "born_in", None) in out    # null obj can win
+    assert ("s3", "works_at", "acme") in out
+
+    rel = {r["host"]: r["reliability"]
+           for r in host_reliability(trip, iterations=1).collect()}
+    # every claim of every host names its group's winner (each (s,p)
+    # group is unanimous), so both hosts get (matched+1)/(n+2) with
+    # matched == n_claims — including the NULL-obj winner for born_in
+    assert abs(rel["h1.ex"] - (2 + 1) / (2 + 2)) < 1e-12
+    assert abs(rel["h2.ex"] - (2 + 1) / (2 + 2)) < 1e-12

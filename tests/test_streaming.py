@@ -180,3 +180,33 @@ def test_kg_upsert_batch_replay_idempotent(spark, tmp_path):
     assert first == second
     row = {r["subj"]: r for r in read_edge_state(spark, state).collect()}
     assert row["a"]["support"] == 2 and row["c"]["support"] == 1
+
+
+def test_kg_upsert_null_key_edges_and_keep_versions_guard(spark, tmp_path):
+    """Regressions from the r5 review: (1) a triple with a NULL key
+    column must survive the batch sketch join AND fold (not duplicate)
+    across merges — null-safe key equality end to end; (2)
+    keep_versions=1 would delete the predecessor a replayed batch must
+    re-read, so it is refused loudly."""
+    import pytest as _pytest
+
+    from ontoemma_spark.streaming.kg import apply_edge_batch, read_edge_state
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [("a", "p", None, "u1", 10), ("a", "p", "b", "u2", 11)],
+        "subj string, pred string, obj string, url string, ts bigint",
+    )
+    apply_edge_batch(b0, 0, state)
+    b1 = spark.createDataFrame(
+        [("a", "p", None, "u3", 12)],
+        "subj string, pred string, obj string, url string, ts bigint",
+    )
+    apply_edge_batch(b1, 1, state)
+    rows = {(r["subj"], r["pred"], r["obj"]): r["support"]
+            for r in read_edge_state(spark, state).collect()}
+    # null-key edge present, folded into ONE row with summed support
+    assert rows == {("a", "p", None): 2, ("a", "p", "b"): 1}
+
+    with _pytest.raises(ValueError, match="keep_versions=1"):
+        apply_edge_batch(b1, 2, state, keep_versions=1)
