@@ -63,9 +63,13 @@ def word_shingles(
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one row per distinct text with the
-    representative (min id) and duplicate count."""
+    representative (min id) and duplicate count. Null-text docs are
+    EXCLUDED — md5(NULL) is NULL and groupBy would otherwise collapse
+    every failed-extraction doc into one phantom duplicate group (a
+    missing text is unknown, not equal to other missing texts)."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
             F.min(id_col).alias("rep_doc_id"),
             F.count(F.lit(1)).alias("dup_count"),
@@ -129,6 +133,12 @@ def band_hashes(
     Single-pass stacking (posexplode over the band array) — a union of
     per-band selects would recompute the signature plan once per band
     per consumer."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: the "
+            f"trailing {num_hashes % bands} hashes would silently never "
+            "enter any band, changing the LSH operating point"
+        )
     signatures = signatures.filter(F.col("h0").isNotNull())
     rows_per_band = num_hashes // bands
     band_cols = [
@@ -724,7 +734,9 @@ def ngram_jaccard_pairs_auto(
         stats = postings_df.select(
             F.avg(F.size("doc_ids")).alias("mean_df")
         ).first()
-        if (stats["mean_df"] or 0.0) <= zipf_mean_df:
+        # prefix filtering requires t > 0 (its length filter divides
+        # by t); threshold-0 requests route to the relational plan
+        if min_jaccard > 0.0 and (stats["mean_df"] or 0.0) <= zipf_mean_df:
             return ngram_jaccard_pairs_prefix(
                 docs, text_col=text_col, id_col=id_col, w=w,
                 min_jaccard=min_jaccard,
@@ -770,8 +782,19 @@ def ngram_jaccard_pairs_prefix(
         since they cannot match;
       * a length filter (t*|A| <= |B| <= |A|/t) prunes candidates in the
         join condition itself.
+
+    Requires min_jaccard > 0: the length filter divides by t, so t=0
+    would NULL-reject every candidate and return an empty frame — the
+    opposite of "all overlapping pairs". Callers wanting t=0 use
+    ngram_jaccard_pairs (the relational plan has no such division).
     """
     t = float(min_jaccard)
+    if t <= 0.0:
+        raise ValueError(
+            "min_jaccard must be > 0 for the prefix-filter plan "
+            "(its length filter divides by it); use ngram_jaccard_pairs "
+            "for threshold 0"
+        )
     sh_arr = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingle_array(text_col, w)).alias("sh"),
@@ -912,7 +935,12 @@ def ngram_jaccard_pairs_broadcast(
         for pdf in batches:
             out = {"doc_a": [], "doc_b": [], "jaccard": []}
             for doc_id, shingles in zip(pdf["doc_id"], pdf["sh"]):
-                me = code_l[doc_id]
+                # docs shorter than w tokens (or null text) have no
+                # shingles, never entered the index, and can pair with
+                # nothing — skip, don't KeyError
+                me = code_l.get(doc_id)
+                if me is None:
+                    continue
                 touched = []
                 for s in shingles:
                     ids = postings_l.get(s)
@@ -1242,14 +1270,18 @@ def bloom_gated_dedup(
     probed = bloom_probe(
         batch, state, key_col=key_col, id_col=id_col, m_bits=m_bits, k=k
     )
-    fresh = probed.filter(~F.col("maybe_seen")).select(
+    # a NULL key probes to NULL maybe_seen; without the coalesce the
+    # row would fall through BOTH filters and vanish — route it fresh
+    # (is_dup false), the same null stance as incremental_dedup
+    maybe = F.coalesce(F.col("maybe_seen"), F.lit(False))
+    fresh = probed.filter(~maybe).select(
         *batch.columns, F.lit(False).alias("is_dup")
     )
     corpus = corpus_keys.select(key_col).distinct().withColumn(
         "_in_corpus", F.lit(1)
     )
     confirmed = (
-        probed.filter(F.col("maybe_seen"))
+        probed.filter(maybe)
         .join(corpus, key_col, "left")
         .select(
             *batch.columns, F.col("_in_corpus").isNotNull().alias("is_dup")

@@ -124,7 +124,9 @@ def merge_entities(entities: DataFrame, merge_key: str) -> DataFrame:
         F.array_join(
             F.array_sort(F.array_distinct(F.collect_list("research_entity_id"))), "|"
         ).alias("research_entity_id"),
-        F.min("canonical_name").alias("canonical_name"),
+        # name of the FIRST member by id order (the documented
+        # reference rule), not the alphabetically smallest name
+        F.min_by("canonical_name", "research_entity_id").alias("canonical_name"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias("aliases"),
         F.array_join(F.array_sort(F.collect_set("definition")), " ").alias("definition"),
     )
@@ -187,6 +189,10 @@ def pagerank(
     weighted = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = nodes.count()
+        if n == 0:
+            # empty crawl slice: an empty (node, rank) frame, not a
+            # driver-side ZeroDivisionError mid-pipeline
+            return nodes.withColumn("rank", F.lit(0.0)).limit(0)
         base = (1.0 - damping) / n
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for it in range(iterations):
@@ -325,9 +331,13 @@ def entity_cooccurrence_pmi(
         .crossJoin(F.broadcast(n_total))
         .select(
             "ent_a", "ent_b", "n_ab",
+            # multiply in DOUBLE: bigint n_ab * n_docs wraps past 2^63
+            # at the 10^12-doc scale this module targets (any head pair
+            # with n_ab > ~9e6), silently NaN-ing the log; doubles lose
+            # nothing that survives the log anyway
             F.log(
-                F.col("n_ab") * F.col("n_docs")
-                / (F.col("n_a") * F.col("n_b"))
+                F.col("n_ab").cast("double") * F.col("n_docs").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("pmi"),
         )
     )
@@ -435,6 +445,12 @@ def hits(
         # 4, measured 12.4 s → ~half at sf0.1) and shrinks every
         # intermediate table; the dense zero-filled view is
         # reconstructed ONCE at the end for presentation.
+        if iterations < 1:
+            raise ValueError(
+                "hits requires iterations >= 1 (the authority vector "
+                "only exists after a half-step; there is no meaningful "
+                "round-0 state to return)"
+            )
         hubs = nodes.withColumn("hub", F.lit(1.0))
         auths = None
         for it in range(iterations):
@@ -1061,8 +1077,15 @@ def random_walks(
     training-corpus generator for DeepWalk/node2vec-style KG
     embeddings (each walk is a "sentence" of node tokens for a
     skip-gram model). Returns (walk_id, path array<node>), path[0] =
-    the start node, |path| = length + 1 (shorter only if a walk hits a
-    dead end, possible when symmetrize=False).
+    the start node, |path| = length + 1 ALWAYS: a walk that hits a
+    dead end (possible only when symmetrize=False — sink nodes) is
+    DROPPED, not truncated (pinned by
+    test_random_walks_directed_dead_end_drops). Classic DeepWalk keeps
+    the truncated prefix instead; here fixed-length rows keep the
+    step-exact unrolled SQL twin and downstream batching simple, and
+    the default symmetrize=True has no dead ends. Callers on directed
+    graphs who need sink-adjacent coverage should symmetrize or add
+    self-loops at sinks.
 
     Determinism (the reproducibility contract every other operator
     here honors — no Math.random, identical output on any cluster
@@ -1143,8 +1166,9 @@ def random_walks(
                 )
             )
         # a walk whose current node has no out-neighbors drops out of
-        # the inner joins above (dead end, symmetrize=False only);
-        # every surviving row has the full length
+        # the inner joins above (dead end, symmetrize=False only) —
+        # the documented drop-not-truncate contract; every surviving
+        # row has the full length
         return walks.select("walk_id", "path").localCheckpoint(eager=True)
     finally:
         e.unpersist()

@@ -145,3 +145,56 @@ def test_broadcast_index_guard_falls_back(spark):
     plan = guarded._jdf.queryExecution().optimizedPlan().toString()
     assert "MapInPandas" not in plan
     assert _rows(guarded) == _rows(candidate_pairs(s_tok, t_tok, 30, 25, top_k=5))
+
+
+def test_r5_review_dedup_guards(spark):
+    """Round-5 review regressions: (1) the broadcast jaccard kernel
+    skips docs shorter than w instead of KeyError; (2) the prefix plan
+    refuses min_jaccard=0 and the auto router sends t=0 to the
+    relational plan; (3) band_hashes refuses indivisible num_hashes;
+    (4) exact_duplicates excludes null-text docs instead of collapsing
+    them into one phantom group; (5) bloom_gated_dedup keeps null-key
+    rows (is_dup false) instead of dropping them from both branches."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.dedup import (
+        band_hashes,
+        bloom_gated_dedup,
+        exact_duplicates,
+        minhash_signatures,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_broadcast,
+        ngram_jaccard_pairs_prefix,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in ngram_jaccard_pairs_broadcast(docs, w=3).collect()}
+    assert pairs == {(1, 2)}  # short/null docs skipped, no KeyError
+
+    with _pytest.raises(ValueError, match="min_jaccard"):
+        ngram_jaccard_pairs_prefix(docs, min_jaccard=0.0)
+    zero = {(r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs_auto(
+                docs, min_jaccard=0.0, max_index_entries=1).collect()}
+    assert zero == {(1, 2)}  # t=0 routed to the relational plan
+
+    sigs = minhash_signatures(word_shingles(docs.filter("doc_id = 1")), num_hashes=8)
+    with _pytest.raises(ValueError, match="not divisible"):
+        band_hashes(sigs, num_hashes=8, bands=3)
+
+    dups = exact_duplicates(docs).collect()
+    assert sorted((r["rep_doc_id"], r["dup_count"]) for r in dups) == [
+        (1, 2), (3, 1)]  # null-text doc 4 excluded
+
+    corpus = spark.createDataFrame([("k1",)], "key string")
+    batch = spark.createDataFrame(
+        [(10, "k1"), (11, "k2"), (12, None)], "doc_id bigint, key string")
+    out = {r["doc_id"]: r["is_dup"]
+           for r in bloom_gated_dedup(batch, corpus).collect()}
+    assert out == {10: True, 11: False, 12: False}  # null key kept

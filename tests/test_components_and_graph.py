@@ -976,3 +976,29 @@ def test_harmonic_centrality_vs_exact(spark):
     for v in nodes:
         exact = exact_h(v)
         assert abs(got[v] - exact) <= max(1.5, 0.4 * exact), (v, exact, got[v])
+
+
+def test_r5_review_graph_guards(spark):
+    """Round-5 review regressions: pagerank on an empty edge table
+    returns an empty frame (not ZeroDivisionError); hits refuses
+    iterations=0 loudly; merge_entities keeps the FIRST member's name
+    by id order, not the alphabetically smallest name."""
+    import pytest as _pytest
+
+    from ontoemma_spark.operators.graph import hits, merge_entities, pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iterations=3).collect() == []
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(spark.createDataFrame([("a", "b")], ["src", "dst"]), iterations=0)
+
+    ents = spark.createDataFrame(
+        [("B", "Apple", ["x"], "d", [], None, [], None, "k"),
+         ("A", "Zebra", ["y"], "d", [], None, [], None, "k")],
+        "research_entity_id string, canonical_name string, aliases array<string>,"
+        " definition string, source_urls array<string>, category string,"
+        " other_contexts array<string>,"
+        " additional_details map<string,array<string>>, mkey string",
+    )
+    got = merge_entities(ents, "mkey").collect()[0]
+    assert got["canonical_name"] == "Zebra"  # name of min id 'A'
