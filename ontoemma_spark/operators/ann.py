@@ -32,7 +32,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN, not a crash) when either vector has zero norm:
+    under ANSI mode 0/0 raises DIVIDE_BY_ZERO, and with ANSI off it
+    yields NaN — which Spark orders ABOVE every real value, so a
+    zero-norm padding artifact would win every desc top-k. The when()
+    guard makes both modes produce NULL, which every consumer here
+    filters."""
+    d = norm(a) * norm(b)
+    return F.when(d != 0.0, dot(a, b) / d)
 
 
 def cosine_scores_vs_query(
@@ -42,11 +49,16 @@ def cosine_scores_vs_query(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, cos) of every row against a fixed query vector. The
-    query travels as a literal array → broadcast-free narrow map."""
+    query travels as a literal array → broadcast-free narrow map.
+
+    Zero-norm rows (all-zeros padding artifacts) and null vectors are
+    EXCLUDED: their cosine is 0/0 = NaN, and Spark orders NaN ABOVE
+    every real value, so without the filter a zero vector would rank
+    1 in every desc top-k and pass every >= threshold."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return embeddings.select(
         F.col(id_col).alias("vec_id"), cosine(F.col(vec_col), q).alias("cos")
-    )
+    ).filter(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
 
 
 def brute_force_topk(
@@ -63,6 +75,27 @@ def brute_force_topk(
     row_number window funneled the whole table through one task; the
     residual rank window below runs over ≤k rows only.)"""
     scored = cosine_scores_vs_query(embeddings, query_vec, id_col, vec_col)
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Hyperplane-sign bit string of `vec` — the ONE shared LSH
+    signature used by the query-bucket probe and the near-dup pair
+    join (a divergence between the two would silently change recall)."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, "1"
+        ).otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def _topk_ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: TakeOrderedAndProject limit then a rank
+    window over <= k rows (cos desc, vec_id asc tie-break)."""
     top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w))
@@ -94,18 +127,10 @@ def lsh_bucket_candidates(
     hash-checks this path against DuckDB."""
     dim = len(query_vec)
     planes = [_hyperplane(dim, s) for s in range(num_planes)]
-
-    def signature(vec: Column) -> Column:
-        bits = [
-            F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, "1").otherwise("0")
-            for plane in planes
-        ]
-        return F.concat(*bits)
-
     q_sig_bits = "".join(
         "1" if sum(p * v for p, v in zip(plane, query_vec)) >= 0 else "0" for plane in planes
     )
-    bucketed = embeddings.withColumn("sig", signature(F.col(vec_col)))
+    bucketed = embeddings.withColumn("sig", _signature_col(F.col(vec_col), planes))
     candidates = bucketed.filter(F.col("sig") == q_sig_bits).drop("sig")
     return cosine_scores_vs_query(candidates, query_vec, id_col, vec_col)
 
@@ -122,9 +147,7 @@ def lsh_bucket_topk(
     At 10^12 rows the bucket column becomes the table's partition key so
     the probe prunes partitions instead of scanning."""
     scored = lsh_bucket_candidates(embeddings, query_vec, num_planes, id_col, vec_col)
-    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _topk_ranked(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -174,6 +197,9 @@ def kmeans_fit(
     round, map-side partial agg). Only k×dim floats ever reach the
     driver. Empty cells keep their previous centroid (standard Lloyd's
     convention), so k is stable across rounds."""
+    # null vectors can neither seed nor move a centroid (len(None) /
+    # float(None) / new[None] all crash) — excluded up front
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     first = embeddings.select(vec_col).first()
     if first is None:
         raise ValueError("kmeans_fit: embeddings table is empty")
@@ -226,9 +252,7 @@ def ivf_probe_topk(
     assigned = assign_cells(embeddings, centroids, vec_col)
     cands = assigned.filter(F.col("cell").isin(probe_cells)).drop("cell")
     scored = cosine_scores_vs_query(cands, query_vec, id_col, vec_col)
-    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _topk_ranked(scored, k)
 
 
 def deterministic_grid_centroids(dim: int, k: int = 8) -> list[list[float]]:
@@ -271,10 +295,11 @@ def embedding_neardup_pairs(
     exact=True is the all-pairs correctness baseline (id_a < id_b theta
     join) — quadratic by definition; keep it off any big table.
     """
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     first = embeddings.select(vec_col).first()
     if first is None:
-        # empty corpus → empty pair table with the right schema (the
-        # dim probe below would otherwise crash on None)
+        # empty corpus (or all-null vectors) → empty pair table with
+        # the right schema (the dim probe below would crash on None)
         return embeddings.sparkSession.createDataFrame(
             [], schema=f"id_a {embeddings.schema[id_col].dataType.simpleString()},"
                        f" id_b {embeddings.schema[id_col].dataType.simpleString()},"
@@ -291,19 +316,13 @@ def embedding_neardup_pairs(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         planes = [_hyperplane(dim, s) for s in range(num_planes)]
-
-        def signature(vec: Column) -> Column:
-            bits = [
-                F.when(
-                    dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, "1"
-                ).otherwise("0")
-                for plane in planes
-            ]
-            return F.concat(*bits)
-
-        a = a.withColumn("sig", signature(F.col("vec_a")))
-        b = b.withColumn("sig", signature(F.col("vec_b")))
+        a = a.withColumn("sig", _signature_col(F.col("vec_a"), planes))
+        b = b.withColumn("sig", _signature_col(F.col("vec_b"), planes))
         pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b")).drop("sig")
+    # NaN >= threshold is TRUE under Spark's NaN ordering, so zero-norm
+    # vectors would be emitted as near-dups of every bucket-mate
     return pairs.select(
         "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos")
-    ).filter(F.col("cos") >= F.lit(float(min_cos)))
+    ).filter(
+        ~F.isnan(F.col("cos")) & (F.col("cos") >= F.lit(float(min_cos)))
+    )

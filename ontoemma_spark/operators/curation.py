@@ -82,11 +82,16 @@ def mixture_sample(
     """
     # weight → 8-hex-digit threshold; weight ≥ 1.0 would need 9 digits
     # ('100000000'), so it maps to a sentinel above every hex draw.
-    thresh = F.when(F.col("weight") >= 1.0, F.lit("zzzzzzzz")).otherwise(
+    # weight clamped into [0, 1] BEFORE the hex conversion: conv() of
+    # a negative bigint yields unsigned two's-complement and the
+    # lpad-to-8 keeps its leading 'ffffffff' — a negative weight (bad
+    # upstream arithmetic) would silently invert into keep-everything
+    w_clamped = F.least(F.greatest(F.col("weight"), F.lit(0.0)), F.lit(1.0))
+    thresh = F.when(w_clamped >= 1.0, F.lit("zzzzzzzz")).otherwise(
         F.lower(
             F.lpad(
                 F.conv(
-                    F.floor(F.col("weight") * F.lit(float(16**8)))
+                    F.floor(w_clamped * F.lit(float(16**8)))
                     .cast("bigint")
                     .cast("string"),
                     10,
@@ -146,9 +151,11 @@ def token_budget_sample(
     draw = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 16
     )
-    n_tok = F.coalesce(
-        F.size(F.split(F.col(text_col), " ")).cast("bigint"), F.lit(0)
-    )
+    # '' splits to [''] (size 1) — an empty doc must cost 0 tokens,
+    # same as null, or the admission accounting is inconsistent
+    n_tok = F.when(
+        F.coalesce(F.col(text_col), F.lit("")) == "", F.lit(0).cast("bigint")
+    ).otherwise(F.size(F.split(F.col(text_col), " ")).cast("bigint"))
     w = (
         Window.partitionBy(source_col)
         .orderBy(F.col("_draw"))
@@ -263,7 +270,11 @@ def pack_sequences(
     """
     if group_col is None and n_groups is None:
         n_groups = max(16, -(-docs.count() // docs_per_group))  # ceil
-    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    # '' splits to [''] (size 1); an empty doc has nothing to pack and
+    # must not occupy bin capacity — count it 0 so the filter drops it
+    toks = F.when(
+        F.coalesce(F.col(text_col), F.lit("")) == "", F.lit(0).cast("bigint")
+    ).otherwise(F.size(F.split(F.col(text_col), " ")).cast("bigint"))
     grp = (
         F.col(group_col).cast("bigint")
         if group_col is not None

@@ -178,16 +178,23 @@ def document_fingerprints_narrow(
     k: int = 3,
 ) -> DataFrame:
     """Zero-shuffle fingerprint: k smallest md5(shingle) computed in-row
-    (array_sort ∘ transform over the shingle array). Identical values to
-    document_fingerprints."""
+    (array_sort ∘ transform over the shingle array). Identical rows to
+    document_fingerprints — INCLUDING the absence rule: docs with no
+    shingles (null text or fewer than w tokens) emit NO row on either
+    path. Without the filter this path emitted fingerprint '' for every
+    short doc, merging all of them as mutual "duplicates" in any
+    fingerprint-keyed dedup while the shuffle path emitted nothing."""
     from ontoemma_spark.operators.dedup import shingle_array
 
     hashes = F.array_sort(
         F.transform(F.array_distinct(shingle_array(text_col, w)), lambda s: F.md5(s))
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_join(F.slice(hashes, 1, k), "|").alias("fingerprint"),
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(F.slice(hashes, 1, k), "|").alias("fingerprint"),
+        )
+        .filter(F.col("fingerprint") != "")
     )
 
 
@@ -416,7 +423,10 @@ def key_skew_stats(
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    # grand total from the |keys|-row aggregate, NOT a second full
+    # df.agg scan — on the 10^12-row tables this diagnostic targets
+    # the old shape doubled the scan cost of every skew probe
+    total = counts.agg(F.sum("cnt").alias("_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
@@ -447,29 +457,34 @@ def source_rollup(
     then (source) — the first stage spreads the head host across
     partitions and combines map-side; a single-stage countDistinct
     would funnel every row of the head host through one task's hash set.
-    The quality means are plain partial-aggregating avgs (skew-immune).
+    The quality score is a NARROW in-row expression
+    (quality_score_col), so it is computed in the same base projection
+    and aggregated through the same two stages — ONE corpus scan and
+    ONE corpus exchange total (a previous revision joined
+    quality_scores() back on doc_id, scanning and shuffling the corpus
+    twice, and ignored text_col/id_col while at it; id_col is now
+    unused and kept only for signature compatibility).
     """
+    del id_col  # no per-doc join anymore; see docstring
     base = docs.select(
-        F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
         F.md5(F.col(text_col)).alias("_h"),
+        # per-doc rounding kept identical to quality_scores' output so
+        # the rollup means are bit-for-bit what the old join produced
+        F.round(quality_score_col(text_col), 6).alias("_q"),
     )
-    per_text = base.groupBy("source", "_h").agg(F.count(F.lit(1)).alias("c"))
+    per_text = base.groupBy("source", "_h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("_q").alias("qs"),
+        F.sum(F.when(F.col("_q") >= 0.5, 1.0).otherwise(0.0)).alias("hi"),
+    )
     text_stats = per_text.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum("qs") / F.sum("c")).alias("avg_quality"),
+        (F.sum("hi") / F.sum("c")).alias("high_quality_share"),
     )
-    qual = (
-        base.join(quality_scores(docs).select("doc_id", "quality_score"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.avg("quality_score").alias("avg_quality"),
-            F.avg(
-                F.when(F.col("quality_score") >= 0.5, 1.0).otherwise(0.0)
-            ).alias("high_quality_share"),
-        )
-    )
-    return text_stats.join(qual, "source").select(
+    return text_stats.select(
         "source",
         "n_docs",
         "n_distinct",
@@ -588,7 +603,14 @@ def unigram_logprob_scores(
 
     Returns (doc_id, n_tokens, n_oov, mean_logprob)."""
     if vocab is None:
-        vocab = unigram_vocab(docs, text_col=text_col)
+        from pyspark import StorageLevel
+
+        # the self-fit vocab feeds BOTH the totals agg and the token
+        # join; unpersisted, the corpus-wide explode+count runs twice
+        # (lazy result, caller owns materialization)
+        vocab = unigram_vocab(docs, text_col=text_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     totals = vocab.agg(
         F.sum("cnt").cast("double").alias("_total"),
         F.count(F.lit(1)).cast("double").alias("_v"),

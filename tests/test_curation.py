@@ -569,3 +569,68 @@ def test_host_boilerplate_lines_and_removal(spark):
         4: "",                                  # page kept, emptied
         5: "NAV\nbodyB", 6: "other\nbodyB2",    # host B untouched
     }
+
+
+def test_r5_review_curation_textstats_ann_guards(spark):
+    """Round-5 review regressions (batch 3): empty-string docs cost 0
+    tokens in budget sampling and never occupy a packed bin; a
+    negative mixture weight drops the source instead of silently
+    keeping 100% of it; source_rollup honors its column parameters on
+    url-keyed tables; short docs emit NO fingerprint row on the narrow
+    path; zero-norm embeddings never rank in ANN top-k or pair as
+    near-dups."""
+    from pyspark.sql import functions as F
+
+    from ontoemma_spark.operators.ann import (
+        brute_force_topk,
+        embedding_neardup_pairs,
+    )
+    from ontoemma_spark.operators.curation import (
+        mixture_sample,
+        pack_sequences,
+        token_budget_sample,
+    )
+    from ontoemma_spark.operators.textstats import (
+        document_fingerprints_narrow,
+        source_rollup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", ""), (3, "s", None)],
+        "doc_id bigint, source string, text string",
+    )
+    budgets = spark.createDataFrame([("s", 10)], "source string, token_budget bigint")
+    kept = {r["doc_id"]: r["n_tokens"]
+            for r in token_budget_sample(docs, budgets).collect()}
+    # empty and null both cost 0 (before this fix '' cost 1)
+    assert kept == {1: 3, 2: 0, 3: 0}
+
+    packed = pack_sequences(docs, max_tokens=10)
+    assert {r["doc_id"] for r in packed.collect()} == {1}  # '' not packed
+
+    weights = spark.createDataFrame([("s", -0.5)], "source string, weight double")
+    assert mixture_sample(docs, weights).count() == 0  # clamped to 0, not 100%
+
+    pages = spark.createDataFrame(
+        [("http://a.ex/1", "good text here"), ("http://a.ex/2", "good text here")],
+        "url string, body string",
+    )
+    roll = source_rollup(
+        pages.withColumn("source", F.lit("a.ex")),
+        text_col="body", id_col="url",
+    ).collect()
+    assert roll[0]["n_docs"] == 2 and roll[0]["n_distinct"] == 1
+
+    fp = document_fingerprints_narrow(
+        spark.createDataFrame([(1, "a b c d"), (2, "x")],
+                              "doc_id bigint, text string"))
+    assert [r["doc_id"] for r in fp.collect()] == [1]  # short doc: no row
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    top = brute_force_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]        # zero vector excluded
+    pairs = embedding_neardup_pairs(emb, min_cos=0.5, exact=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
