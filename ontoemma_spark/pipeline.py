@@ -3,7 +3,9 @@
   extract     pages → (subj, pred, obj) mention triples   [narrow]
   link        mentions ↔ KB entities                       [blocking join]
   canonicalize match graph → canonical ids (hash-min CC)   [iterative]
-  materialize node/edge tables bucketed by entity hash     [write]
+  materialize the edge table bucketed by entity hash        [write]
+  (the node set is the canonicalize stage's (node, component)
+  checkpoint — no separate node table is written)
 
 Checkpointing: each stage writes through the tableio seam
 (parquet / bucketed_table / iceberg, chosen per run via the
@@ -172,11 +174,17 @@ def run_pipeline(
             tableio.append_stage(extract_triples(with_text), done["extract"])
             new_pages.select("url").write.mode("append").parquet(urls_path)
             # downstream stages are stale → recompute over the union
-            for stage in ["link", "canonicalize", "materialize"]:
+            # (fuse included — stale fused facts silently published as
+            # current was a real bug: support/belief missed the delta)
+            for stage in ["link", "canonicalize", "materialize", "fuse"]:
                 manifest["stages"].pop(stage, None)
-            manifest["stages"]["extract"]["metrics"]["pages"] += n_new
+            m = manifest["stages"]["extract"].setdefault("metrics", {})
+            # pages from the LEDGER, not += on a possibly-empty metrics
+            # dict (a crash between checkpoint and metrics write leaves
+            # done=True with metrics={}; the ledger is the truth)
+            m["pages"] = processed.count() + n_new
             triples_now = _read_stage(spark, manifest["stages"]["extract"])
-            manifest["stages"]["extract"]["metrics"]["triples"] = triples_now.count()
+            m["triples"] = triples_now.count()
             _write_manifest(out_dir, manifest)
             done = manifest["stages"]
 
@@ -190,14 +198,16 @@ def run_pipeline(
         obs = Observation("extract")
         observed = with_text.observe(obs, F.count(F.lit(1)).alias("pages"))
         raw_triples = extract_triples(observed)
+        # ledger BEFORE the checkpoint marks the stage done: a crash
+        # between the two must never leave a "completed" extract whose
+        # incremental re-run can't find processed_urls
+        pages.select("url").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "processed_urls")
+        )
         triples = _checkpoint(
             raw_triples, out_dir, "extract", manifest,
             metrics={},  # filled after action below
             fmt=table_format,
-        )
-        # processed-url ledger for incremental re-runs
-        pages.select("url").write.mode("overwrite").parquet(
-            os.path.join(out_dir, "processed_urls")
         )
         manifest["stages"]["extract"]["metrics"] = {
             "pages": obs.get["pages"], "triples": triples.count()
@@ -208,14 +218,22 @@ def run_pipeline(
     if "link" in done:
         links = _read_stage(spark, done["link"])
     else:
+        from pyspark import StorageLevel
+
         # mention table: distinct surface forms from subj+obj positions.
-        mentions = mention_entities(triples)
-        result = align(mentions, kb_entities, model=model, threshold=threshold)
-        links = _checkpoint(result.alignment, out_dir, "link", manifest, metrics={},
-                            fmt=table_format)
-        manifest["stages"]["link"]["metrics"] = {
-            "mentions": mentions.count(), "links": links.count()
-        }
+        # Persisted: align() consumes it AND the mentions counter below
+        # reads it again — unpersisted, the explode+distinct over the
+        # corpus-scale triples table would execute twice.
+        mentions = mention_entities(triples).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            result = align(mentions, kb_entities, model=model, threshold=threshold)
+            links = _checkpoint(result.alignment, out_dir, "link", manifest,
+                                metrics={}, fmt=table_format)
+            manifest["stages"]["link"]["metrics"] = {
+                "mentions": mentions.count(), "links": links.count()
+            }
+        finally:
+            mentions.unpersist()
         _write_manifest(out_dir, manifest)
 
     # ---- stage 3: canonicalize -----------------------------------------
@@ -233,32 +251,38 @@ def run_pipeline(
 
     # ---- stage 4: materialize -------------------------------------------
     if "materialize" not in done:
-        canon_map = canon.withColumnRenamed("node", "entity_id")
-        nodes = (
-            canon_map.select(F.col("component").alias("entity_id"))
-            .union(
-                links.select(F.col("s_id").alias("entity_id"))
-                .union(links.select(F.col("t_id").alias("entity_id")))
-                .join(canon_map, "entity_id", "left_anti")
-            )
-            .distinct()
-        )
         # rewrite triple endpoints to canonical ids
         kg_edges = canonical_edge_rewrite(triples, canon, keep_cols=("url", "sent_idx"))
         materialized = _checkpoint(kg_edges, out_dir, "materialize", manifest, metrics={},
                                    bucket_col="subject_id", fmt=table_format)
         # per-partition lineage: row count per entity-hash bucket (the
         # north rule's per-partition counters; on Iceberg these live in
-        # snapshot manifests for free). Derived from subject_id so it
-        # works for every table format (the parquet layout also carries
-        # it as a physical partition column).
-        bucket_expr = F.pmod(F.xxhash64(F.col("subject_id")), F.lit(64)).alias("bucket")
-        bucket_counts = {
-            str(r["bucket"]): r["count"]
-            for r in materialized.groupBy(bucket_expr).count().collect()
-        }
+        # snapshot manifests for free). write_stage already recorded
+        # exactly these counts from parquet footers (partition_lineage)
+        # — reuse them instead of a third full scan; other formats fall
+        # back to one scan of the CHECKPOINTED table.
+        entry = manifest["stages"]["materialize"]
+        if "partition_lineage" in entry:
+            bucket_counts = dict(entry["partition_lineage"])
+        else:
+            bucket_expr = F.pmod(
+                F.xxhash64(F.col("subject_id")), F.lit(64)
+            ).alias("bucket")
+            bucket_counts = {
+                str(r["bucket"]): r["count"]
+                for r in materialized.groupBy(bucket_expr).count().collect()
+            }
+        # nodes = distinct canonical entity ids. Every link endpoint IS
+        # a CC node (connected_components' universe comes from the edge
+        # list), so the previous union-plus-anti-join over links was
+        # provably empty work — the count equals the canonicalize
+        # stage's components metric, already on the manifest.
+        # edges counts the CHECKPOINTED table (metadata-cheap), not the
+        # pre-checkpoint lineage, which re-ran the rewrite joins.
         manifest["stages"]["materialize"]["metrics"] = {
-            "nodes": nodes.count(), "edges": kg_edges.count()
+            "nodes": manifest["stages"]["canonicalize"]["metrics"]["components"],
+            "edges": sum(bucket_counts.values()) if bucket_counts
+            else materialized.count(),
         }
         manifest["stages"]["materialize"]["partitions"] = bucket_counts
         _write_manifest(out_dir, manifest)

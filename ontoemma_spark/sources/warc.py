@@ -151,7 +151,11 @@ def iter_warc_records(
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            # unknown payload span: quarantine this record, resync
+            length = -1
+        if length < 0:
+            # unknown OR negative payload span (read(-1) would slurp
+            # the whole remaining archive into one record, defeating
+            # the memory bound): quarantine this record, resync
             pending = _resync(stream, st)
             if pending is None:
                 return
@@ -180,6 +184,8 @@ def _dechunk(data: bytes) -> bytes | None:
         try:
             size = int(size_tok, 16)
         except ValueError:
+            return None
+        if size < 0:  # '-5' parses; negative framing is corrupt
             return None
         if size == 0:
             return b"".join(out)
@@ -275,8 +281,11 @@ _COLS = ("url", "warc_ts", "html", "text", "lang")
 def _flush(rows: list[tuple]) -> pd.DataFrame:
     pdf = pd.DataFrame(rows, columns=_COLS)
     # empty/None-only ts columns infer float64, which Arrow cannot cast
-    # to timestamp — coerce explicitly
-    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    # to timestamp — coerce explicitly. errors="coerce": a valid-ISO
+    # but out-of-pandas-range date (year > 2262 in a wild archive)
+    # must become NaT/null, not an OutOfBoundsDatetime that kills the
+    # task — the same quarantine-not-crash stance as the scanner.
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], errors="coerce")
     return pdf
 
 
@@ -294,6 +303,12 @@ def load_warc(
     (`rows_per_batch` pages each — see the module docstring's memory
     shape). At 10^12 pages you have ~10^5 archives per crawl — ample
     task parallelism with zero shuffle.
+
+    Requires spark.sql.session.timeZone=UTC (asserted loudly):
+    warc_ts travels as a NAIVE UTC wall-time through Arrow, and a
+    session pinned to any other zone would silently reinterpret every
+    instant (an 8-hour shift on a PST cluster). The project session
+    (session.get_spark) pins UTC; foreign sessions must too.
 
     check_sizes runs an EAGER listing-only job (content column pruned,
     no file bytes read) so archives over binaryFile's cap fail here
@@ -320,6 +335,13 @@ def load_warc(
             "the crawler)."
         )
 
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"load_warc requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "warc_ts travels as a naive UTC wall-time and any other session "
+            "zone silently shifts every instant"
+        )
     return files.select("content").mapInPandas(
         _pages_scan_udf(rows_per_batch), schema=PAGES_SCHEMA
     )

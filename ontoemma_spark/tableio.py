@@ -143,7 +143,14 @@ def write_stage(
 
 def append_stage(df: DataFrame, entry: dict) -> None:
     """Append rows to an existing stage table (incremental mode's delta
-    write; on Iceberg this commits a new snapshot)."""
+    write; on Iceberg this commits a new snapshot).
+
+    MUTATES entry's recorded lineage (rows / partition_lineage) to the
+    post-append truth, same metadata-only re-read as write_stage —
+    without it validate_stage would flag every healthy appended
+    checkpoint as corrupt (stale expected counts). Callers persist the
+    updated entry by rewriting the manifest, which the incremental
+    path already does."""
     fmt = entry.get("format", "parquet")
     if fmt == "parquet":
         # a bucket-partitioned stage must keep its layout on append —
@@ -161,6 +168,16 @@ def append_stage(df: DataFrame, entry: dict) -> None:
             df.write.mode("append").partitionBy("bucket").parquet(entry["path"])
         else:
             df.write.mode("append").parquet(entry["path"])
+        back = df.sparkSession.read.parquet(entry["path"])
+        if "partition_lineage" in entry:
+            counts = back.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+            entry["partition_lineage"] = {
+                str(r["bucket"]): r["n"] for r in counts
+            }
+        elif "rows" in entry:
+            entry["rows"] = back.count()
     elif fmt == "bucketed_table":
         df.write.mode("append").insertInto(entry["table"])
     else:  # iceberg

@@ -123,3 +123,23 @@ def test_pipeline_fuse_stage_rollup_and_resume(spark, tmp_path_factory):
     assert manifest2 == manifest
     manifest3 = run_pipeline(spark, pages, kb, out_dir)
     assert manifest3 == manifest
+
+
+def test_pipeline_incremental_recomputes_fuse(spark, tmp_path_factory):
+    """Incremental reruns must invalidate the fuse stage too — before
+    the fix stale fused facts (pre-delta support/belief) were silently
+    kept as current."""
+    out_dir = str(tmp_path_factory.mktemp("kgpipe_inc_fuse"))
+    kb, _ = synthetic_kb(spark, "KB", n_entities=40)
+    m1 = run_pipeline(spark, synthetic_pages(spark, n_pages=20), kb,
+                      out_dir, fuse=True)
+    facts_1 = m1["stages"]["fuse"]["metrics"]["facts"]
+    m2 = run_pipeline(spark, synthetic_pages(spark, n_pages=30), kb,
+                      out_dir, incremental=True, fuse=True)
+    facts_2 = m2["stages"]["fuse"]["metrics"]["facts"]
+    assert facts_2 > facts_1
+    # fresh full run agrees
+    fresh = str(tmp_path_factory.mktemp("kgpipe_inc_fuse_fresh"))
+    m3 = run_pipeline(spark, synthetic_pages(spark, n_pages=30), kb,
+                      fresh, fuse=True)
+    assert m3["stages"]["fuse"]["metrics"] == m2["stages"]["fuse"]["metrics"]

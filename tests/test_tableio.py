@@ -155,3 +155,22 @@ def test_partition_lineage_recorded_and_validated(spark, tmp_path):
     parts = glob.glob(os.path.join(entry2["path"], "part-*"))
     os.remove(parts[0])
     assert not tableio.validate_stage(spark, entry2)["ok"]
+
+
+def test_append_stage_updates_lineage_for_validate(spark, tmp_path):
+    """append_stage must refresh the manifest entry's recorded rows /
+    partition_lineage — before the fix validate_stage flagged every
+    healthy incrementally-appended checkpoint as corrupt."""
+    from ontoemma_spark.tableio import append_stage, validate_stage, write_stage
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    entry = write_stage(df, str(tmp_path), "t", fmt="parquet")
+    delta = spark.createDataFrame([(3, "c")], "k bigint, v string")
+    append_stage(delta, entry)
+    assert entry["rows"] == 3
+    assert validate_stage(spark, entry)["ok"] is True
+
+    bentry = write_stage(df, str(tmp_path), "tb", fmt="parquet", bucket_col="k")
+    append_stage(delta, bentry)
+    assert sum(int(v) for v in bentry["partition_lineage"].values()) == 3
+    assert validate_stage(spark, bentry)["ok"] is True

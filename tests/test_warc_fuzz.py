@@ -202,3 +202,55 @@ def test_scan_stats_report(spark, tmp_path):
     assert got["messy.warc"]["resyncs"] >= 1
     assert got["messy.warc"]["pages"] >= 2
     assert got["messy.warc"]["truncated"] == 1
+
+
+def test_negative_content_length_resyncs_not_slurps():
+    """'Content-Length: -1' must quarantine + resync like a non-numeric
+    length — read(-1) would slurp the whole remaining archive into one
+    record body, defeating the scanner's memory bound."""
+    rows = _rows(3)
+    raw = _archive(rows)
+    # corrupt the FIRST record's length header to -1
+    import re
+    raw = re.sub(rb"Content-Length: \d+", b"Content-Length: -1", raw, count=1)
+    st = {}
+    got = list(parse_warc_rows(raw, stats=st))
+    urls = [r[0] for r in got]
+    assert urls == ["http://e1.example/p", "http://e2.example/p"]
+    assert st.get("resyncs", 0) >= 1
+
+
+def test_negative_chunk_size_falls_back_to_raw():
+    assert _dechunk(b"-2\r\nxx\r\n0\r\n\r\n") is None
+
+
+def test_out_of_range_warc_date_coerces_to_null():
+    """A valid-ISO year-9999 date is outside pandas' ns range; the
+    batch flush must coerce it to NaT (null ts row), never raise
+    OutOfBoundsDatetime and kill the task."""
+    from datetime import datetime
+
+    from ontoemma_spark.sources.warc import _flush, _parse_ts
+
+    dt = _parse_ts("9999-01-01T00:00:00Z")
+    assert dt is not None and dt.year == 9999
+    pdf = _flush([("u", dt, b"<html></html>", None, None)])
+    assert pdf["warc_ts"].isna().all()
+
+
+def test_load_warc_refuses_non_utc_session(spark, tmp_path):
+    import pytest as _pytest
+
+    from ontoemma_spark.sources.warc import load_warc, write_warc
+
+    p = tmp_path / "a.warc"
+    with open(p, "wb") as f:
+        write_warc(_rows(1), f)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        with _pytest.raises(ValueError, match="timeZone"):
+            load_warc(spark, str(p))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert load_warc(spark, str(p)).count() == 1
