@@ -188,6 +188,25 @@ def candidate_pairs_broadcast_index(
     tokens accumulated in ascending token order (both engines sum ≤
     dozens of doubles; ties broken by t_id). Measured at sf0.1:
     26s (shuffle plan) → ~2s.
+
+    r6 optimization (guide §1.2 "the distributed algorithm" + §4.2):
+    the probe scores TOKEN-SET CLASSES, not entities. Every target
+    entity with the same above-floor token set has the same score
+    against any source, and every source with the same token set has
+    the same candidate list — so postings map token → class codes
+    (|classes| ≤ |entities|, thousands of times smaller on vocabularies
+    with repeated alias sets), each class carries only its top_k
+    smallest t_ids (more can never be emitted), per-source results are
+    memoized by token set, and the scatter-add uses vectorized fancy
+    indexing (posting codes are unique per token, so `acc[ids] +=` is
+    exact — np.add.at's duplicate-index handling, ~20x slower, is not
+    needed). Scores stay bit-identical: a class accumulates the same
+    idf terms in the same ascending token order an entity did, and ties
+    (bit-equal sums) are broken by merging the tied classes' t_ids
+    ascending — the exact (score desc, t_id asc) order of the old
+    per-entity lexsort. Worst case (all token sets unique) degrades to
+    the old per-entity shape, never below it. Measured at sf1.0
+    (16-token vocabulary, 2.5e9 scatter-adds before): 131s → ~2s.
     """
     import numpy as np
     import pandas as pd
@@ -196,82 +215,128 @@ def candidate_pairs_broadcast_index(
         token_idf(s_tokens, s_count), token_idf(t_tokens, t_count)
     ).filter((F.col("s_idf") >= idf_limit) & (F.col("t_idf") >= idf_limit))
 
-    t_index_df = (
-        t_tokens.join(F.broadcast(vocab.select("token", "t_idf")), "token")
-        .groupBy("token")
-        .agg(
-            F.array_sort(F.collect_list("entity_id")).alias("t_ids"),
-            F.first("t_idf").alias("t_idf"),
-        )
+    t_keyed = t_tokens.join(F.broadcast(vocab.select("token", "t_idf")), "token")
+    t_sets = t_keyed.groupBy("entity_id").agg(
+        F.array_sort(F.collect_set("token")).alias("toks")
     )
     # The KB-small regime is ENFORCED, not assumed: measure the postings
-    # entry count (Σ|t_ids| — the real memory footprint) with one cheap
-    # aggregate job, then collect. The index is persisted across the
+    # entry count (Σ per-entity above-floor tokens — the same quantity
+    # as the old Σ|t_ids| over the token index) with one cheap aggregate
+    # job, then collect the class table. t_sets is persisted across the
     # two actions (DataFrame actions do not share shuffle stages, so an
-    # unpersisted guard would double the compute; with the persist the
-    # collect reads the cache in ~0.2s). Above the cap, fall back to
-    # the fully relational plan — the oversized index is never pulled
-    # to the driver, it spills to executor disk at worst.
+    # unpersisted guard would double the compute). Above the cap, fall
+    # back to the fully relational plan — the oversized index is never
+    # pulled to the driver, it spills to executor disk at worst.
     from pyspark import StorageLevel
 
-    t_index_df = t_index_df.persist(StorageLevel.MEMORY_AND_DISK)
+    t_sets = t_sets.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        entries = t_index_df.select(F.sum(F.size("t_ids"))).first()[0] or 0
+        entries = t_sets.select(F.sum(F.size("toks"))).first()[0] or 0
         if entries > max_index_rows:
             return candidate_pairs(
                 s_tokens, t_tokens, s_count, t_count,
                 idf_limit=idf_limit, top_k=top_k,
             )
-        t_index_rows = t_index_df.collect()
-    finally:
-        t_index_df.unpersist()
-    spark = s_tokens.sparkSession
-    # integer-code target ids; postings as numpy arrays
-    all_t = sorted({t for r in t_index_rows for t in r["t_ids"]})
-    t_code = {t: i for i, t in enumerate(all_t)}
-    postings = {
-        r["token"]: (
-            np.array([t_code[t] for t in r["t_ids"]], dtype=np.int64),
-            float(r["t_idf"]),
+        class_rows = (
+            t_sets.groupBy("toks")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list("entity_id")), 1, top_k
+                ).alias("t_ids")
+            )
+            .collect()
         )
-        for r in t_index_rows
+        vocab_rows = vocab.select("token", "t_idf").collect()
+    finally:
+        t_sets.unpersist()
+    spark = s_tokens.sparkSession
+    idf_map = {r["token"]: float(r["t_idf"]) for r in vocab_rows}
+    # class postings: token → unique class codes; per-class top_k t_ids
+    # (already ascending via array_sort)
+    class_tids: list = []
+    postings_lists: dict = {}
+    for ci, r in enumerate(class_rows):
+        class_tids.append(np.array(r["t_ids"], dtype=object))
+        for tok in r["toks"]:
+            postings_lists.setdefault(tok, []).append(ci)
+    postings = {
+        tok: (np.array(cs, dtype=np.int64), idf_map[tok])
+        for tok, cs in postings_lists.items()
     }
-    bc = spark.sparkContext.broadcast((postings, np.array(all_t, dtype=object)))
+    bc = spark.sparkContext.broadcast((postings, class_tids))
 
-    s_grouped = s_tokens.groupBy(F.col("entity_id").alias("s_id")).agg(
-        F.array_sort(F.collect_set("token")).alias("tokens")
+    # EXPLICIT repartition of the probe input: AQE sizes post-shuffle
+    # partitions by BYTES and cannot see the per-row Python cost of the
+    # probe — at sf1.0 it coalesced the ~1MB grouped-token exchange to
+    # ONE partition, serializing the whole probe on one core (measured:
+    # 138s vs 10.5s with coalescing off — this was the r5
+    # blocking-vs-best_match 131s/8s driver anomaly). An explicit
+    # partition count is exempt from AQE coalescing.
+    par = s_tokens.sparkSession.sparkContext.defaultParallelism
+    s_grouped = (
+        s_tokens.groupBy(F.col("entity_id").alias("s_id"))
+        .agg(F.array_sort(F.collect_set("token")).alias("tokens"))
+        .repartition(par)
     )
 
     id_type = s_tokens.schema["entity_id"].dataType.simpleString()
     out_schema = f"s_id {id_type}, t_id {id_type}, cand_score double, rank int"
 
     def probe(batches):
-        postings_l, t_names = bc.value
-        n_t = len(t_names)
-        acc = np.zeros(n_t, dtype=np.float64)
+        postings_l, class_tids_l = bc.value
+        acc = np.zeros(len(class_tids_l), dtype=np.float64)
+        memo: dict = {}
         for pdf in batches:
             out = {"s_id": [], "t_id": [], "cand_score": [], "rank": []}
             for s_id, toks in zip(pdf["s_id"], pdf["tokens"]):
-                touched = []
-                for tok in toks:  # ascending token order (array_sort)
-                    p = postings_l.get(tok)
-                    if p is None:
-                        continue
-                    ids, idf_v = p
-                    np.add.at(acc, ids, idf_v)
-                    touched.append(ids)
-                if not touched:
-                    continue
-                cand = np.unique(np.concatenate(touched))
-                scores = acc[cand]
-                acc[cand] = 0.0
-                # top_k by (-score, t_id asc); t_names sorted → code order == name order
-                order = np.lexsort((cand, -scores))[:top_k]
-                k = len(order)
-                out["s_id"].extend([s_id] * k)
-                out["t_id"].extend(t_names[cand[order]])
-                out["cand_score"].extend(scores[order])
-                out["rank"].extend(range(1, k + 1))
+                key = tuple(toks)
+                res = memo.get(key)
+                if res is None:
+                    touched = []
+                    for tok in toks:  # ascending token order (array_sort)
+                        p = postings_l.get(tok)
+                        if p is None:
+                            continue
+                        ids, idf_v = p
+                        acc[ids] += idf_v  # unique codes per posting
+                        touched.append(ids)
+                    if touched:
+                        cand = np.unique(np.concatenate(touched))
+                        scores = acc[cand]
+                        acc[cand] = 0.0
+                        # classes by score desc; bit-equal ties merged by
+                        # t_id asc — the old per-entity lexsort order
+                        order = np.argsort(-scores, kind="stable")
+                        t_out: list = []
+                        sc_out: list = []
+                        i = 0
+                        while i < len(order) and len(t_out) < top_k:
+                            j = i
+                            v = scores[order[i]]
+                            while j < len(order) and scores[order[j]] == v:
+                                j += 1
+                            if j == i + 1:
+                                tie = class_tids_l[cand[order[i]]]
+                            else:
+                                tie = np.sort(
+                                    np.concatenate(
+                                        [class_tids_l[cand[o]] for o in order[i:j]]
+                                    )
+                                )
+                            take = min(top_k - len(t_out), len(tie))
+                            t_out.extend(tie[:take])
+                            sc_out.extend([v] * take)
+                            i = j
+                        res = (t_out, sc_out, list(range(1, len(t_out) + 1)))
+                    else:
+                        res = ([], [], [])
+                    memo[key] = res
+                t_ids_r, sc_r, rk_r = res
+                if t_ids_r:
+                    out["s_id"].extend([s_id] * len(t_ids_r))
+                    out["t_id"].extend(t_ids_r)
+                    out["cand_score"].extend(sc_r)
+                    out["rank"].extend(rk_r)
             yield pd.DataFrame(out)
 
     return s_grouped.mapInPandas(probe, schema=out_schema)

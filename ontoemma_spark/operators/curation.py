@@ -497,6 +497,10 @@ def curate_corpus(
     """
     from ontoemma_spark.operators import dedup as D
 
+    # spread(): every stage-1 gate expression is narrow per-row compute;
+    # on a single-split corpus it would all run in ONE scan task
+    # (guide §2.6) — buy the parallelism once, at the top
+    docs = D.spread(docs)
     if pre_dedup_paragraphs:
         docs = pre_dedup_paragraph_stage(docs)
     gated = gate_quality_repetition(
@@ -528,12 +532,14 @@ def curate_corpus(
         sh, sig = D.cached_shingle_signatures(
             clean, w=shingle_w, num_hashes=num_hashes
         )
-        cand = D.lsh_candidate_pairs(
-            sig, num_hashes=num_hashes, bands=bands, max_band_df=max_band_df
+        # fused band-join + exact-jaccard rescore kernel (r6): identical
+        # rows to lsh_candidate_pairs → rescore_jaccard_pairs (its
+        # in-kernel fallback above the postings guard), same rows as the
+        # LSH dedup query's pair step
+        pairs = D.lsh_jaccard_pairs_broadcast(
+            sh, sig, num_hashes=num_hashes, bands=bands,
+            min_jaccard=min_jaccard, max_band_df=max_band_df,
         )
-        # exact-jaccard rescore of LSH survivors only (shared helper —
-        # same rescore the LSH dedup query uses)
-        pairs = D.rescore_jaccard_pairs(cand, sh, min_jaccard)
         resolved = D.resolve_duplicate_clusters(clean, pairs)
     finally:
         # resolve materializes CC eagerly (checkpointed labels) as its

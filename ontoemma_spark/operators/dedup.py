@@ -28,6 +28,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the input is a NARROW-FROM-SCAN plan with fewer partitions (guide
+    §2.6/§6: a single-file, single-row-group parquet scan is one task,
+    so any narrow per-row compute downstream — interpreted higher-order
+    shingling above all — serializes on one core of local[N]). No-op
+    when the input already has enough splits, so no shuffle is added at
+    real scale where scans arrive in hundreds of file splits. The
+    shuffled bytes are the raw input rows (pre-explosion), i.e. the
+    cheapest place to buy parallelism.
+
+    Plans that already contain an Exchange are left untouched WITHOUT
+    inspecting their partitioning: post-shuffle width is governed by
+    shuffle_partitions/AQE already, and — measured r6 — calling
+    `.rdd.getNumPartitions()` on an AQE plan with exchanges EXECUTES the
+    upstream query stages to finalize the plan, silently running the
+    whole subquery once before the real action does (curate_stage0
+    4.2s → 6.7s from exactly this)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return df
+        # exchange-free plan: nothing can execute; partition inspection
+        # is pure metadata (file splits)
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: unplannable input
+        return df
+    return df.repartition(par) if n < par else df
+
+
 def shingle_array(text_col, w: int = 3) -> Column:
     """Array of w-word shingles as a NARROW column expression — no
     explode, no window, no shuffle. Per-doc sketches (MinHash, SimHash)
@@ -443,7 +473,10 @@ def substring_dup_pairs(
 
     Returns (doc_a, doc_b, n_shared_grams), doc_a < doc_b.
     """
-    grams = docs.select(
+    # spread(): the interpreted gram+md5 chain otherwise runs in ONE
+    # scan task on single-split corpora (guide §2.6); both self-join
+    # sides still share one exchange (ReusedExchange)
+    grams = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(
@@ -885,7 +918,10 @@ def ngram_jaccard_pairs_broadcast(
     # uncached. Left persisted because the returned DataFrame is lazy;
     # MEMORY_AND_DISK spills, never OOMs, and it is one array row per
     # doc (sketch-sized), not the pair fan-out.
-    sh = docs.select(
+    # spread(): the shingling HOF chain is interpreted and the corpus
+    # often arrives as one parquet split — buy scan parallelism before
+    # the heavy narrow compute, not after (guide §2.6).
+    sh = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingle_array(text_col, w)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -926,12 +962,21 @@ def ngram_jaccard_pairs_broadcast(
     id_type = sh.schema["doc_id"].dataType.simpleString()
     out_schema = f"doc_a {id_type}, doc_b {id_type}, jaccard double"
 
-    # the docs scan is often a single split — spread the probe work
-    sh = sh.repartition(spark.sparkContext.defaultParallelism)
-
+    # candidate extraction is a THRESHOLD SCAN over the accumulator
+    # (guide §1.2 step 2 — per-task work): a pair with J >= t needs
+    # inter >= t/(1+t) * (na + nb) >= t/(1+t) * (na + min_b nb), so
+    # scanning acc for that floor (over codes > me only — the
+    # pair-once rule for free) replaces the old per-doc
+    # unique(concat(postings)) sort, which was O(Σ df log Σ df) per doc
+    # and dominated the probe. The floor uses the GLOBAL min doc size —
+    # conservative, no false negatives; survivors are still exact-jaccard
+    # filtered. int32 accumulator halves the scan bandwidth.
     def probe(batches):
         postings_l, names, sizes_l, code_l = bc.value
-        acc = np.zeros(len(names), dtype=np.int64)
+        n_docs = len(names)
+        acc = np.zeros(n_docs, dtype=np.int32)
+        nb_min = int(sizes_l.min()) if n_docs else 0
+        tt = min_jaccard / (1.0 + min_jaccard) if min_jaccard > 0 else 0.0
         for pdf in batches:
             out = {"doc_a": [], "doc_b": [], "jaccard": []}
             for doc_id, shingles in zip(pdf["doc_id"], pdf["sh"]):
@@ -949,9 +994,9 @@ def ngram_jaccard_pairs_broadcast(
                         touched.append(ids)
                 if not touched:
                     continue
-                cand = np.unique(np.concatenate(touched))
-                # emit each unordered pair once: only partners AFTER me
-                cand = cand[cand > me]
+                na = int(sizes_l[me])
+                lo = max(1, int(tt * (na + nb_min)))  # floor() — safe side
+                cand = np.flatnonzero(acc[me + 1:] >= lo) + (me + 1)
                 if len(cand):
                     inter = acc[cand]
                     union = sizes_l[me] + sizes_l[cand] - inter
@@ -1134,7 +1179,9 @@ def cached_shingle_signatures(
     """
     from pyspark import StorageLevel
 
-    sh = docs.select(
+    # spread(): single-split corpora would otherwise compute the whole
+    # interpreted shingling chain in ONE scan task (guide §2.6)
+    sh = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingle_array(text_col, w)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1143,6 +1190,167 @@ def cached_shingle_signatures(
         num_hashes=num_hashes,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return sh, sig
+
+
+def lsh_jaccard_pairs_broadcast(
+    sh: DataFrame,
+    sig: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    min_jaccard: float = 0.5,
+    max_band_df: int | None = None,
+    keep_jaccard: bool = False,
+    max_index_rows: int = 5_000_000,
+) -> DataFrame:
+    """Fused LSH candidate generation + exact-jaccard rescore over a
+    cached (doc_id, sh) shingle-array table and its (doc_id, h0..hN)
+    MinHash signature table (the cached_shingle_signatures pair).
+
+    Output is IDENTICAL to the composed plan
+    `rescore_jaccard_pairs(lsh_candidate_pairs(sig, ...), sh, ...)`:
+    pairs (doc_a < doc_b) that (a) agree on at least one non-hot LSH
+    band and (b) have exact shingle jaccard >= min_jaccard.
+
+    Why fuse (guide §1.2 step 1 / §3.3): the composed plan materializes
+    the full band self-join fan-out (millions of candidate pairs at
+    sf1.0, quadratic in bucket size), distincts it, then shuffles the
+    per-doc shingle ARRAYS onto both sides of every pair and runs an
+    interpreted array_intersect per pair. The fused kernel broadcasts
+    the postings index once (same guarded collect as
+    ngram_jaccard_pairs_broadcast — the regime is MEASURED, with the
+    composed plan as the fallback above the cap) plus one band-hash
+    array per band (~32 bytes/doc/band), computes intersections by
+    vectorized scatter-add + threshold scan, and applies the band
+    agreement as a vectorized byte-compare on the survivors — the pair
+    fan-out never exists as rows.
+
+    The hot-band cap (max_band_df) matches drop_hot_bands exactly: a
+    (band_idx, band_hash) bucket with more than max_band_df docs
+    generates no pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: the "
+            f"trailing {num_hashes % bands} hashes would silently never "
+            "enter any band, changing the LSH operating point"
+        )
+
+    def composed() -> DataFrame:
+        cand = lsh_candidate_pairs(
+            sig, num_hashes=num_hashes, bands=bands, max_band_df=max_band_df
+        )
+        return rescore_jaccard_pairs(
+            cand, sh, min_jaccard, keep_jaccard=keep_jaccard
+        )
+
+    entries = sh.select(F.sum(F.size("sh"))).first()[0] or 0
+    if entries > max_index_rows:
+        return composed()
+
+    postings_df = (
+        sh.select("doc_id", F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+    rows = postings_df.collect()
+
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    band_rows = sig.filter(F.col("h0").isNotNull()).select("doc_id", *band_cols).collect()
+
+    spark = sh.sparkSession
+    all_docs = sorted({d for r in rows for d in r["doc_ids"]})
+    code = {d: i for i, d in enumerate(all_docs)}
+    postings = {
+        r["shingle"]: np.array([code[d] for d in r["doc_ids"]], dtype=np.int64)
+        for r in rows
+    }
+    sizes = np.zeros(len(all_docs), dtype=np.int64)
+    for ids in postings.values():
+        sizes[ids] += 1
+    # per-band hash arrays, indexed by doc code; fixed-width bytes so the
+    # band-agreement check on survivors is one vectorized compare
+    band_arrs = []
+    hot_sets: list[set] = [set() for _ in range(bands)]
+    if max_band_df is not None:
+        from collections import Counter
+
+        for b in range(bands):
+            cnt = Counter(r[f"band{b}"] for r in band_rows)
+            hot_sets[b] = {h for h, c in cnt.items() if c > max_band_df}
+    for b in range(bands):
+        arr = np.zeros(len(all_docs), dtype="S32")
+        for r in band_rows:
+            i = code.get(r["doc_id"])
+            if i is not None:
+                arr[i] = r[f"band{b}"].encode()
+        band_arrs.append(arr)
+    bc = spark.sparkContext.broadcast(
+        (postings, np.array(all_docs, dtype=object), sizes, code, band_arrs, hot_sets)
+    )
+
+    id_type = sh.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, jaccard double"
+
+    def probe(batches):
+        postings_l, names, sizes_l, code_l, bands_l, hot_l = bc.value
+        n_docs = len(names)
+        acc = np.zeros(n_docs, dtype=np.int32)
+        nb_min = int(sizes_l.min()) if n_docs else 0
+        tt = min_jaccard / (1.0 + min_jaccard) if min_jaccard > 0 else 0.0
+        for pdf in batches:
+            out = {"doc_a": [], "doc_b": [], "jaccard": []}
+            for doc_id, shingles in zip(pdf["doc_id"], pdf["sh"]):
+                me = code_l.get(doc_id)
+                if me is None:
+                    continue
+                touched = []
+                for s in shingles:
+                    ids = postings_l.get(s)
+                    if ids is not None:
+                        acc[ids] += 1
+                        touched.append(ids)
+                if not touched:
+                    continue
+                na = int(sizes_l[me])
+                lo = max(1, int(tt * (na + nb_min)))  # floor() — safe side
+                cand = np.flatnonzero(acc[me + 1:] >= lo) + (me + 1)
+                if len(cand):
+                    inter = acc[cand]
+                    union = sizes_l[me] + sizes_l[cand] - inter
+                    jac = inter / union
+                    keep = jac >= min_jaccard
+                    if keep.any():
+                        # band agreement on the jaccard survivors only
+                        shared = np.zeros(len(cand), dtype=bool)
+                        for b in range(len(bands_l)):
+                            mine = bands_l[b][me]
+                            if not mine or (hot_l[b] and mine.decode() in hot_l[b]):
+                                continue
+                            shared |= bands_l[b][cand] == mine
+                        keep &= shared
+                    k = int(keep.sum())
+                    if k:
+                        out["doc_a"].extend([doc_id] * k)
+                        out["doc_b"].extend(names[cand[keep]])
+                        out["jaccard"].extend(jac[keep])
+                for ids in touched:
+                    acc[ids] = 0
+            yield pd.DataFrame(out)
+
+    res = sh.mapInPandas(probe, schema=out_schema)
+    cols = ["doc_a", "doc_b"] + (["jaccard"] if keep_jaccard else [])
+    return res.select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -176,6 +176,11 @@ def pagerank(
         # whose edge list is distinct by construction pass dedupe=False
         # and skip a full shuffle of the edge table
         e = e.distinct()
+    # persist e: BOTH nodes and weighted materialize from it — without
+    # this cache the caller's edge build (typically a multi-million-row
+    # join over the source tables) executes twice before the first
+    # iteration even starts (r6, guide §5 caching-for-reuse)
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     # nodes joins ranks EVERY round — without the cache its whole
     # upstream lineage (the caller's edge build, often a join over the
     # source tables) re-executes once per iteration
@@ -186,7 +191,19 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    weighted = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # repartition by the per-round join key with an EXPLICIT partition
+    # count BEFORE persisting (guide §2.4: operations keyed the same
+    # way share one exchange): the cached table's hash partitioning on
+    # src is reused by every iteration's join, so only the (node-sized)
+    # rank table shuffles per round. The explicit count matters: a bare
+    # repartition("src") is AQE-coalescible, and a coalesced cache
+    # partitioning no longer matches the per-round join's requirement.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    weighted = (
+        e.join(outdeg, "src")
+        .repartition(par, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
         n = nodes.count()
         if n == 0:
@@ -196,8 +213,16 @@ def pagerank(
         base = (1.0 - damping) / n
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for it in range(iterations):
+            # shuffle_hash hint on the (node-sized) rank side: with the
+            # edge table cached pre-partitioned on src, a sort-merge
+            # join would still SORT the edges every round; a shuffled
+            # hash join builds its table from the small rank partition
+            # and streams the edges unsorted (guide §3.1)
             contribs = (
-                weighted.join(ranks, weighted["src"] == ranks["node"])
+                weighted.join(
+                    ranks.hint("shuffle_hash"),
+                    weighted["src"] == ranks["node"],
+                )
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("m"))
@@ -218,6 +243,7 @@ def pagerank(
     finally:
         weighted.unpersist()
         nodes.unpersist()
+        e.unpersist()
 
 
 def weighted_edges(
@@ -430,6 +456,18 @@ def hits(
     if dedupe:
         e = e.distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # two key-partitioned cached copies of the edge table (guide §2.4):
+    # the authority half-step joins on src, the hub half-step on dst —
+    # pre-partitioning each copy once means the per-round joins shuffle
+    # only the (node-sized) rank tables, never the edges. Costs one
+    # extra cached copy of the edge list; saves 2 edge-table exchanges
+    # per iteration.
+    # explicit partition count: a bare repartition(key) is
+    # AQE-coalescible, and a coalesced cache partitioning would no
+    # longer match the per-round join requirement (exchange per round)
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    e_src = e.repartition(par, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst = e.repartition(par, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -454,14 +492,22 @@ def hits(
         hubs = nodes.withColumn("hub", F.lit(1.0))
         auths = None
         for it in range(iterations):
+            # shuffle_hash hint on the (node-sized) rank side: the
+            # cached key-partitioned edge copies stream unsorted into a
+            # hash join instead of being re-sorted every round by a
+            # sort-merge join (guide §3.1)
             auths = (
-                e.join(hubs, e["src"] == hubs["node"])
+                e_src.join(
+                    hubs.hint("shuffle_hash"), e_src["src"] == hubs["node"]
+                )
                 .groupBy("dst")
                 .agg(F.sum("hub").alias("authority"))
                 .withColumnRenamed("dst", "node")
             )
             hubs = (
-                e.join(auths, e["dst"] == auths["node"])
+                e_dst.join(
+                    auths.hint("shuffle_hash"), e_dst["dst"] == auths["node"]
+                )
                 .groupBy("src")
                 .agg(F.sum("authority").alias("hub"))
                 .withColumnRenamed("src", "node")
@@ -498,6 +544,8 @@ def hits(
             (F.col("hub") / F.lit(sh)).alias("hub"),
         )
     finally:
+        e_src.unpersist()
+        e_dst.unpersist()
         e.unpersist()
         nodes.unpersist()
 

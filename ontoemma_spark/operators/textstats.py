@@ -135,7 +135,7 @@ def winnowing_fingerprints(
     Returns (doc_id, pos, fp) exploded and per-doc distinct: pos is
     the 0-based token index of the selected gram. Docs with fewer than
     w + k - 1 tokens (no full window) emit nothing."""
-    from ontoemma_spark.operators.dedup import shingle_array
+    from ontoemma_spark.operators.dedup import shingle_array, spread
 
     hashes = F.transform(shingle_array(text_col, k), lambda s: F.md5(s))
     m = F.size(F.col("_h"))
@@ -156,10 +156,18 @@ def winnowing_fingerprints(
             F.array_min(F.slice(F.col("_h"), i, w)).alias("fp"),
         ),
     )
+    # r6: (a) spread() — the nested-window selection transform is
+    # interpreted and otherwise runs in ONE task on single-split
+    # corpora; (b) the no-full-window rule as a CHEAP token-count
+    # predicate (m >= w ⟺ n_tokens >= w + k - 1) applied BEFORE the
+    # hash projection, so the md5 array is not computed once for the
+    # filter and again for the explode. Identical rows.
     return (
-        docs.filter(F.col(text_col).isNotNull())
+        spread(docs.filter(
+            F.col(text_col).isNotNull()
+            & (F.size(F.split(F.col(text_col), " ")) >= w + k - 1)
+        ))
         .select(F.col(id_col).alias("doc_id"), hashes.alias("_h"))
-        .filter(m >= w)
         .select(
             "doc_id",
             # adjacent windows re-select the same (pos, fp) — the in-row
@@ -189,12 +197,23 @@ def document_fingerprints_narrow(
     hashes = F.array_sort(
         F.transform(F.array_distinct(shingle_array(text_col, w)), lambda s: F.md5(s))
     )
+    # The absence rule as a CHEAP input predicate (r6, guide §1.2 step 2):
+    # fingerprint == '' iff the doc has no shingles iff it has fewer than
+    # w tokens (or null text). Filtering on the token count instead of
+    # the computed fingerprint keeps the interpreted md5/sort chain out
+    # of the filter — consumers that prune the projection (counts,
+    # semi-joins) never pay it, and full materializations pay it once
+    # (the old filter-on-derived-column shape evaluated the chain for
+    # the predicate and again for the projection). Identical rows.
     return (
-        docs.select(
+        docs.filter(
+            F.col(text_col).isNotNull()
+            & (F.size(F.split(F.col(text_col), " ")) >= w)
+        )
+        .select(
             F.col(id_col).alias("doc_id"),
             F.array_join(F.slice(hashes, 1, k), "|").alias("fingerprint"),
         )
-        .filter(F.col("fingerprint") != "")
     )
 
 
@@ -387,9 +406,11 @@ def repetition_scores(
     contains the doc id), never wider than the corpus itself. Docs with
     fewer than w tokens have no grams and drop out (no signal).
     """
-    from ontoemma_spark.operators.dedup import shingle_array
+    from ontoemma_spark.operators.dedup import shingle_array, spread
 
-    grams = docs.select(
+    # spread(): the interpreted gram explode otherwise runs in ONE task
+    # on single-split corpora (guide §2.6)
+    grams = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingle_array(text_col, w)).alias("gram"),
     )

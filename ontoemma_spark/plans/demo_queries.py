@@ -637,9 +637,13 @@ def q_lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_arr, sig = D.cached_shingle_signatures(
         docs, w=SHINGLE_W, num_hashes=NUM_MINHASHES
     )
-    pairs = D.lsh_candidate_pairs(sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS)
-    return D.rescore_jaccard_pairs(
-        pairs, sh_arr, JACCARD_MIN, keep_jaccard=True
+    # fused band-join + exact-jaccard rescore kernel (r6): identical
+    # rows to lsh_candidate_pairs → rescore_jaccard_pairs (which is its
+    # in-kernel fallback above the postings guard) without materializing
+    # the multi-million-row band self-join fan-out
+    return D.lsh_jaccard_pairs_broadcast(
+        sh_arr, sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS,
+        min_jaccard=JACCARD_MIN, keep_jaccard=True,
     ).select(
         F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"),
         F.round("jaccard", 6).alias("jaccard"),
@@ -777,8 +781,12 @@ def q_lsh_hot_band_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" body words alpha beta gamma delta"),
         )).alias("text"),
     )
+    # spread(): the interpreted narrow minhash otherwise runs in ONE
+    # scan task on this single-split table (guide §2.6); the band join
+    # downstream forces the compute (no count-prune), so parallelism
+    # here is pure win
     sig = D.minhash_signatures_narrow(
-        pages, w=SHINGLE_W, num_hashes=NUM_MINHASHES
+        D.spread(pages), w=SHINGLE_W, num_hashes=NUM_MINHASHES
     )
     pairs = D.lsh_candidate_pairs(
         sig, num_hashes=NUM_MINHASHES, bands=LSH_BANDS,

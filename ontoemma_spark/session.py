@@ -45,9 +45,20 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(config.ARROW_MAX_RECORDS_PER_BATCH),
         )
-        # Parquet vectorized reader + pushdown are on by default; keep
-        # partition sizes bounded for the 100TB case.
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Parquet vectorized reader + pushdown are on by default.
+        # Split size is parameterised (guide §6). MEASURED NEGATIVE
+        # RESULT (r6): a 2m local default — meant to let the testdata's
+        # multi-row-group files (lineitem, orders) scan in parallel —
+        # helped nothing (bow_tie 12.5s→12.3s) and slowed the
+        # spread()-based document pipelines ~2x (substring_dup_pairs
+        # 3.9s→6.5s, repetition_scores 1.6s→3.0s, isolated A/B), so the
+        # default stays 128m; single-split parallelism is bought by
+        # spread() at the operators that need it instead. On a real
+        # cluster with large scans raise toward 512m-1g (guide §2.2).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -198,3 +198,33 @@ def test_r5_review_dedup_guards(spark):
     out = {r["doc_id"]: r["is_dup"]
            for r in bloom_gated_dedup(batch, corpus).collect()}
     assert out == {10: True, 11: False, 12: False}  # null key kept
+
+
+def test_broadcast_index_class_dedup_with_ties(spark):
+    """r6 class-dedup probe: entities with IDENTICAL token sets (the
+    memo/class path) and score ties across classes must rank exactly as
+    the relational plan — tied scores break by t_id ascending, merged
+    across classes."""
+    # 6 targets in 3 classes: {a,b} twice, {a} twice, {b,c} twice;
+    # 4 sources, two sharing a token set (memo hit)
+    t_rows = [
+        (101, "a"), (101, "b"), (104, "a"), (104, "b"),
+        (102, "a"), (105, "a"),
+        (103, "b"), (103, "c"), (106, "b"), (106, "c"),
+    ]
+    s_rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),   # identical set to s=1 → memoized result
+        (3, "b"), (3, "c"),
+        (4, "a"),
+    ]
+    s_tok = spark.createDataFrame(s_rows, "entity_id bigint, token string")
+    t_tok = spark.createDataFrame(t_rows, "entity_id bigint, token string")
+    a = _rows(candidate_pairs(s_tok, t_tok, 4, 6, idf_limit=0.0, top_k=3))
+    b = _rows(
+        candidate_pairs_broadcast_index(s_tok, t_tok, 4, 6, idf_limit=0.0, top_k=3)
+    )
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][1] == b[k][1], k
+        assert abs(a[k][0] - b[k][0]) < 1e-12, k
