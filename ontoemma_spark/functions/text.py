@@ -24,11 +24,6 @@ from ontoemma_spark.functions.stopwords import ENGLISH_STOPWORDS_SORTED
 TOKEN_PATTERN = r"[A-Za-z\d]+"
 
 
-def _stopwords_array() -> Column:
-    # Built lazily: creating literal Columns requires an active session.
-    return F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS_SORTED])
-
-
 def clean(col) -> Column:
     """Strip every char outside [a-zA-Z0-9 ] (string_utils.py:6-10)."""
     return F.regexp_replace(F.col(col) if isinstance(col, str) else col, r"[^a-zA-Z0-9 ]+", "")
@@ -52,8 +47,11 @@ def tokenize(col, *, remove_stopwords: bool = True) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)
     if remove_stopwords:
-        stop = _stopwords_array()
-        toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+        # r6: isin(...) — the optimizer rewrites the literal IN to an
+        # InSet hash lookup; ~array_contains(literal array, t) scanned
+        # all 179 stopwords per token interpreted. Same null-safe
+        # equality membership semantics.
+        toks = F.filter(toks, lambda t: ~t.isin(*ENGLISH_STOPWORDS_SORTED))
     return toks
 
 

@@ -217,6 +217,13 @@ def strongly_connected_components(
     (self-loops contribute the node as a singleton-or-member, never a
     dropped row).
     """
+    # ADVICE r5: a null endpoint would enter the node universe (union/
+    # distinct keeps NULL) but every null-unsafe anti-join below fails
+    # to remove it, so it re-settles every round and the loop exhausts
+    # max_rounds with a misleading "did not settle". Null endpoints
+    # carry no reachability information — drop them up front, consistent
+    # with upsert_edges/fusion's explicit null handling.
+    edges = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     live = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -346,6 +353,9 @@ def bow_tie_classes(
     )
     live = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # null endpoints carry no reachability (same rule as SCC's
+        # universe above — ADVICE r5)
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -944,19 +944,25 @@ def ngram_jaccard_pairs_broadcast(
                 docs, text_col=text_col, id_col=id_col, w=w,
                 min_jaccard=min_jaccard,
             )
-    rows = postings_df.collect()
+    # Arrow toPandas + vectorized searchsorted code mapping (see
+    # lsh_jaccard_pairs_broadcast): posting lists arrive as numpy
+    # arrays, not per-element Python objects
+    pdf_idx = postings_df.toPandas()
+    p_arrs = [np.asarray(a) for a in pdf_idx["doc_ids"].to_numpy()]
     spark = docs.sparkSession
-    all_docs = sorted({d for r in rows for d in r["doc_ids"]})
-    code = {d: i for i, d in enumerate(all_docs)}
+    all_docs = (
+        np.unique(np.concatenate(p_arrs)) if p_arrs else np.array([], dtype=object)
+    )
+    code = {d: i for i, d in enumerate(all_docs.tolist())}
     postings = {
-        r["shingle"]: np.array([code[d] for d in r["doc_ids"]], dtype=np.int64)
-        for r in rows
+        s: np.searchsorted(all_docs, a)
+        for s, a in zip(pdf_idx["shingle"], p_arrs)
     }
     sizes = np.zeros(len(all_docs), dtype=np.int64)
     for ids in postings.values():
         sizes[ids] += 1
     bc = spark.sparkContext.broadcast(
-        (postings, np.array(all_docs, dtype=object), sizes, code)
+        (postings, np.array(all_docs.tolist(), dtype=object), sizes, code)
     )
 
     id_type = sh.schema["doc_id"].dataType.simpleString()
@@ -1255,7 +1261,12 @@ def lsh_jaccard_pairs_broadcast(
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
     )
-    rows = postings_df.collect()
+    # Arrow toPandas (guide §6): the posting lists land as numpy arrays
+    # per row instead of per-element Python objects, and the doc→code
+    # mapping is a vectorized searchsorted per posting — the driver-side
+    # index build drops from seconds of Python loops to milliseconds.
+    pdf = postings_df.toPandas()
+    p_arrs = [np.asarray(a) for a in pdf["doc_ids"].to_numpy()]
 
     rows_per_band = num_hashes // bands
     band_cols = [
@@ -1266,37 +1277,40 @@ def lsh_jaccard_pairs_broadcast(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    band_rows = sig.filter(F.col("h0").isNotNull()).select("doc_id", *band_cols).collect()
+    band_pdf = (
+        sig.filter(F.col("h0").isNotNull()).select("doc_id", *band_cols).toPandas()
+    )
 
     spark = sh.sparkSession
-    all_docs = sorted({d for r in rows for d in r["doc_ids"]})
-    code = {d: i for i, d in enumerate(all_docs)}
+    all_docs = (
+        np.unique(np.concatenate(p_arrs)) if p_arrs else np.array([], dtype=object)
+    )
+    code = {d: i for i, d in enumerate(all_docs.tolist())}
     postings = {
-        r["shingle"]: np.array([code[d] for d in r["doc_ids"]], dtype=np.int64)
-        for r in rows
+        s: np.searchsorted(all_docs, a)
+        for s, a in zip(pdf["shingle"], p_arrs)
     }
     sizes = np.zeros(len(all_docs), dtype=np.int64)
     for ids in postings.values():
         sizes[ids] += 1
     # per-band hash arrays, indexed by doc code; fixed-width bytes so the
     # band-agreement check on survivors is one vectorized compare
+    band_codes = np.array(
+        [code.get(d, -1) for d in band_pdf["doc_id"].tolist()], dtype=np.int64
+    )
     band_arrs = []
     hot_sets: list[set] = [set() for _ in range(bands)]
-    if max_band_df is not None:
-        from collections import Counter
-
-        for b in range(bands):
-            cnt = Counter(r[f"band{b}"] for r in band_rows)
-            hot_sets[b] = {h for h, c in cnt.items() if c > max_band_df}
     for b in range(bands):
+        vals = band_pdf[f"band{b}"].to_numpy(dtype="S32")
+        if max_band_df is not None:
+            uniq, cnt = np.unique(vals, return_counts=True)
+            hot_sets[b] = {h.decode() for h in uniq[cnt > max_band_df]}
         arr = np.zeros(len(all_docs), dtype="S32")
-        for r in band_rows:
-            i = code.get(r["doc_id"])
-            if i is not None:
-                arr[i] = r[f"band{b}"].encode()
+        valid = band_codes >= 0
+        arr[band_codes[valid]] = vals[valid]
         band_arrs.append(arr)
     bc = spark.sparkContext.broadcast(
-        (postings, np.array(all_docs, dtype=object), sizes, code, band_arrs, hot_sets)
+        (postings, np.array(all_docs.tolist(), dtype=object), sizes, code, band_arrs, hot_sets)
     )
 
     id_type = sh.schema["doc_id"].dataType.simpleString()

@@ -263,10 +263,17 @@ def interval_join(
         )
     if "_bucket" in set(points.columns) | set(intervals.columns):
         raise ValueError("reserved internal column name in input: _bucket")
+    # ADVICE r5: the last covered bucket is floor(end/width), NOT
+    # floor((end-1)/width) — the latter is only correct for integral
+    # bounds (end=100.5, width=100 covered only bucket 0 while a
+    # matching point t=100.2 hashes to bucket 1: silent drops). For
+    # integral bounds the extra boundary bucket is empty of matches and
+    # the exact range predicate discards it — identical output, no
+    # false negatives for fractional bounds.
     iv = intervals.filter(F.col(end) > F.col(start))
     worst = iv.select(
         F.max(
-            F.floor((F.col(end) - 1) / bucket_width)
+            F.floor(F.col(end) / bucket_width)
             - F.floor(F.col(start) / bucket_width)
             + 1
         ).alias("n")
@@ -282,7 +289,7 @@ def interval_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(start) / bucket_width),
-                F.floor((F.col(end) - 1) / bucket_width),
+                F.floor(F.col(end) / bucket_width),
             )
         ),
     )

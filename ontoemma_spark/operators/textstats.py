@@ -68,8 +68,15 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def _quality_parts(text_col: str):
     toks = whitespace_tokens(text_col)
     n_toks = F.size(toks)
-    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS_SORTED])
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_toks
+    # r6: isin(...) over the literal list — the optimizer rewrites a
+    # large IN to an InSet HASH lookup per token; the previous
+    # array_contains(literal array, t) was a LINEAR SCAN of all 179
+    # stopwords per token inside an interpreted lambda (~9.5k string
+    # compares per doc; the dominant cost of the curation gate).
+    # Identical semantics: both are null-safe equality membership.
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS_SORTED))
+    ) / n_toks
     mean_len = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
     ) / n_toks

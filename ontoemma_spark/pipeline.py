@@ -279,8 +279,21 @@ def run_pipeline(
         # stage's components metric, already on the manifest.
         # edges counts the CHECKPOINTED table (metadata-cheap), not the
         # pre-checkpoint lineage, which re-ran the rewrite joins.
+        # ADVICE r5: a crash between canonicalize's checkpoint and its
+        # metrics write leaves done=True with metrics={} — a resumed run
+        # must not KeyError here; recompute the component count from the
+        # checkpointed canonical table when the metric is absent.
+        n_components = (
+            manifest["stages"]["canonicalize"].get("metrics", {}).get("components")
+        )
+        if n_components is None:
+            canon_ck = _read_stage(spark, manifest["stages"]["canonicalize"])
+            n_components = canon_ck.select("component").distinct().count()
+            manifest["stages"]["canonicalize"].setdefault("metrics", {})[
+                "components"
+            ] = n_components
         manifest["stages"]["materialize"]["metrics"] = {
-            "nodes": manifest["stages"]["canonicalize"]["metrics"]["components"],
+            "nodes": n_components,
             "edges": sum(bucket_counts.values()) if bucket_counts
             else materialized.count(),
         }

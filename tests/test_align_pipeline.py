@@ -143,3 +143,41 @@ def test_pipeline_incremental_recomputes_fuse(spark, tmp_path_factory):
     m3 = run_pipeline(spark, synthetic_pages(spark, n_pages=30), kb,
                       fresh, fuse=True)
     assert m3["stages"]["fuse"]["metrics"] == m2["stages"]["fuse"]["metrics"]
+
+
+def test_pipeline_resume_survives_missing_canonicalize_metrics(
+    spark, tmp_path_factory
+):
+    """ADVICE r5: a crash between canonicalize's checkpoint (done=True)
+    and its metrics write leaves metrics={} on the manifest; the resumed
+    run must recompute the component count instead of KeyError-ing at
+    materialize, and must converge to the same metrics as a clean run."""
+    import json
+    import os
+    import shutil
+
+    out_dir = str(tmp_path_factory.mktemp("kgpipe_crashwin"))
+    pages = synthetic_pages(spark, n_pages=30)
+    kb, _ = synthetic_kb(spark, "KB", n_entities=40)
+    clean = run_pipeline(spark, pages, kb, out_dir)
+
+    # simulate the crash window: canonicalize done, metrics lost,
+    # materialize (and its outputs) not yet written
+    mpath = os.path.join(out_dir, "_manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["stages"]["canonicalize"]["metrics"] = {}
+    del manifest["stages"]["materialize"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(os.path.join(out_dir, "materialize"))
+
+    resumed = run_pipeline(spark, pages, kb, out_dir)
+    assert (
+        resumed["stages"]["materialize"]["metrics"]
+        == clean["stages"]["materialize"]["metrics"]
+    )
+    assert (
+        resumed["stages"]["canonicalize"]["metrics"]["components"]
+        == clean["stages"]["canonicalize"]["metrics"]["components"]
+    )

@@ -1002,3 +1002,23 @@ def test_r5_review_graph_guards(spark):
     )
     got = merge_entities(ents, "mkey").collect()[0]
     assert got["canonical_name"] == "Zebra"  # name of min id 'A'
+
+
+def test_scc_and_bow_tie_ignore_null_endpoints(spark):
+    """ADVICE r5: a null src/dst must not enter the node universe (it
+    previously re-settled every round until the loud-but-misleading
+    'did not settle' bound)."""
+    from ontoemma_spark.operators.components import (
+        bow_tie_classes,
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", None), (None, "b"), (None, None)],
+        "src string, dst string",
+    )
+    scc = {r["node"]: r["component"]
+           for r in strongly_connected_components(edges).collect()}
+    assert scc == {"a": "a", "b": "a"}
+    bt = {r["node"]: r["cls"] for r in bow_tie_classes(edges).collect()}
+    assert bt == {"a": "core", "b": "core"}

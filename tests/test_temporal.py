@@ -275,3 +275,16 @@ def test_bow_tie_hand_case(spark):
                    "z": "tendril_or_disconnected"}
     empty = spark.createDataFrame([], "src string, dst string")
     assert bow_tie_classes(empty).collect() == []
+
+
+def test_interval_join_fractional_bounds(spark):
+    """ADVICE r5: fractional interval bounds must not drop memberships —
+    end=100.5 covers bucket 1 (width 100), where a point t=100.2 lives."""
+    from ontoemma_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, 100.2), (2, 50.0), (3, 100.6)], "pid int, t double")
+    iv = spark.createDataFrame([(10, 0.5, 100.5)], "iid int, start double, end double")
+    got = sorted(
+        r["pid"] for r in interval_join(pts, iv, bucket_width=100).collect()
+    )
+    assert got == [1, 2]  # 100.2 and 50.0 inside [0.5, 100.5); 100.6 out
