@@ -27,10 +27,66 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = config.CC_MAX_ITERATIONS,
+    max_collect_edges: int | None = 500_000,
 ) -> DataFrame:
     """(node, component) with component = min node id (string order) in
     the node's connected component. Edges are treated as undirected.
+
+    r6 fast path (guide §1.2 step 1): the edge list is COUNTED first;
+    at or below ``max_collect_edges`` it is collected (Arrow) and
+    labeled by driver-side union-find — the hash-min loop schedules
+    several shuffle jobs per round, which on the pair graphs this
+    operator actually sees (LSH survivors, alignment links: orders of
+    magnitude smaller than the corpus) is pure fixed overhead. The
+    guarded collect has the same legitimacy as a broadcast hash join's
+    build side: measured first, bounded by construction, and the
+    distributed loop below remains the over-cap path, unchanged.
+    Identical labels: union-find tracks the MIN id per set with the
+    same comparison order (UTF-8 binary == code-point order) and the
+    same null/self-loop conventions (a null endpoint never joins; a
+    self-loop-only node is its own singleton).
     """
+    if max_collect_edges is not None:
+        e_small = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        n_edges = e_small.limit(max_collect_edges + 1).count()
+        if n_edges <= max_collect_edges:
+            edge_rows = e_small.collect()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            has_null = False
+            for row in edge_rows:
+                a, b = row["a"], row["b"]
+                if a is None or b is None:
+                    has_null = True
+                for v in (a, b):
+                    if v is not None and v not in parent:
+                        parent[v] = v
+                if a is None or b is None or a == b:
+                    continue
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min id becomes the root — the hash-min label
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(v, find(v)) for v in parent]
+            if has_null:
+                # the distributed node universe keeps a NULL node (its
+                # component is NULL) — preserve that exactly
+                rows.append((None, None))
+            spark = edges.sparkSession
+            node_t = edges.schema[src].dataType.simpleString()
+            return spark.createDataFrame(
+                rows, schema=f"node {node_t}, component {node_t}"
+            )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -184,12 +240,65 @@ def _min_reach_labels_bidir(
     )
 
 
+def _tarjan_components(node_list: list, adj: dict) -> dict:
+    """Iterative Tarjan SCC over an adjacency dict; returns
+    node → min id of its SCC. Deterministic regardless of traversal
+    order (the representative is the set minimum, not the root)."""
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = [0]
+    for start in node_list:
+        if start in index:
+            continue
+        work = [(start, iter(adj.get(start, ())))]
+        index[start] = low[start] = counter[0]
+        counter[0] += 1
+        stack.append(start)
+        on_stack.add(start)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                rep = min(members)
+                for w in members:
+                    comp[w] = rep
+    return comp
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
     max_iterations: int = config.CC_MAX_ITERATIONS,
+    max_collect_edges: int | None = 500_000,
 ) -> DataFrame:
     """(node, component) over a DIRECTED graph, component = min node id
     in the node's strongly connected component. The web-graph shape:
@@ -236,6 +345,31 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r6 fast path (same guarded-collect pattern as connected_components'
+    # union-find): live is already deduped and materialized, so the size
+    # probe is cheap; at or below the cap the SCC runs as driver-side
+    # iterative Tarjan — the FW-BW coloring loop schedules dozens of
+    # shuffle jobs per outer round, pure fixed overhead on the small
+    # distinct link graphs this sees. Identical labels (component = min
+    # SCC member; self-loop-only nodes are singletons via the node
+    # universe). Above the cap: the distributed loop below, unchanged.
+    if (
+        max_collect_edges is not None
+        and live.limit(max_collect_edges + 1).count() <= max_collect_edges
+    ):
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for r in live.collect():
+            adj[r["src"]].append(r["dst"])
+        node_list = [r["node"] for r in nodes.collect()]
+        comp = _tarjan_components(node_list, adj)
+        spark = edges.sparkSession
+        node_t = edges.schema[src].dataType.simpleString()
+        return spark.createDataFrame(
+            [(v, comp[v]) for v in node_list],
+            schema=f"node {node_t}, component {node_t}",
+        )
     # seed with an empty, correctly-typed part so zero-edge input
     # returns an empty (node, component) frame instead of crashing
     done_parts: list[DataFrame] = [
@@ -304,6 +438,7 @@ def bow_tie_classes(
     dst: str = "dst",
     max_rounds: int = 20,
     max_iterations: int = config.CC_MAX_ITERATIONS,
+    max_collect_edges: int | None = 500_000,
 ) -> DataFrame:
     """Broder et al. (2000) bow-tie anatomy of a directed link graph:
     every node classified as
@@ -360,6 +495,56 @@ def bow_tie_classes(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r6 fast path (same guarded-collect pattern as SCC's Tarjan): on a
+    # small distinct link graph the IN/OUT sides are two plain BFS
+    # closures from the core, replacing a multi-round distributed
+    # min-label propagation. Exact same classification: forward
+    # reachability from the core ⟺ the sentinel-seeded forward label,
+    # backward ⟺ the backward label. Above the cap: the distributed
+    # propagation, unchanged.
+    if (
+        max_collect_edges is not None
+        and live.limit(max_collect_edges + 1).count() <= max_collect_edges
+    ):
+        from collections import defaultdict, deque
+
+        fwd = defaultdict(list)
+        bwd = defaultdict(list)
+        for r in live.collect():
+            fwd[r["src"]].append(r["dst"])
+            bwd[r["dst"]].append(r["src"])
+        labels = [(r["node"], r["component"]) for r in scc.collect()]
+        core = {n for n, c in labels if c == core_id}
+
+        def closure(adjm):
+            seen = set(core)
+            q = deque(core)
+            while q:
+                v = q.popleft()
+                for w in adjm.get(v, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+            return seen
+
+        out_side = closure(fwd)
+        in_side = closure(bwd)
+        rows = []
+        for n, c in labels:
+            if c == core_id:
+                cls = "core"
+            elif n in in_side:
+                cls = "in"
+            elif n in out_side:
+                cls = "out"
+            else:
+                cls = "tendril_or_disconnected"
+            rows.append((n, c, cls))
+        spark = edges.sparkSession
+        node_t = edges.schema[src].dataType.simpleString()
+        return spark.createDataFrame(
+            rows, schema=f"node {node_t}, component {node_t}, cls string"
+        )
     reach = _min_reach_labels_bidir(
         live, seeded, max_iterations, seed_col="_seed"
     )

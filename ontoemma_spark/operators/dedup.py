@@ -925,9 +925,10 @@ def ngram_jaccard_pairs_broadcast(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingle_array(text_col, w)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # no array_sort: order is re-derived by searchsorted in the code map
     postings_df = sh.select("doc_id", F.explode("sh").alias("shingle")).groupBy(
         "shingle"
-    ).agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+    ).agg(F.collect_list("doc_id").alias("doc_ids"))
     if max_index_rows is not None:
         entries = postings_df.select(F.sum(F.size("doc_ids"))).first()[0] or 0
         if entries > max_index_rows:
@@ -1013,9 +1014,10 @@ def ngram_jaccard_pairs_broadcast(
                         out["doc_a"].extend([doc_id] * k)
                         out["doc_b"].extend(names[cand[keep]])
                         out["jaccard"].extend(jac[keep])
-                # reset accumulator for touched docs
-                for ids in touched:
-                    acc[ids] = 0
+                # memset reset: zeroing the whole accumulator is a
+                # sequential 4B/doc write (~0.2MB), ~10x cheaper than
+                # re-scattering every posting list to undo the adds
+                acc.fill(0)
             yield pd.DataFrame(out)
 
     return sh.mapInPandas(probe, schema=out_schema)
@@ -1256,10 +1258,13 @@ def lsh_jaccard_pairs_broadcast(
     if entries > max_index_rows:
         return composed()
 
+    # no array_sort on the posting lists: the kernel re-codes them via
+    # searchsorted against the sorted doc universe, so within-list order
+    # is irrelevant — sorting 2.5M entries in the agg was pure waste
     postings_df = (
         sh.select("doc_id", F.explode("sh").alias("shingle"))
         .groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+        .agg(F.collect_list("doc_id").alias("doc_ids"))
     )
     # Arrow toPandas (guide §6): the posting lists land as numpy arrays
     # per row instead of per-element Python objects, and the doc→code
@@ -1268,46 +1273,67 @@ def lsh_jaccard_pairs_broadcast(
     pdf = postings_df.toPandas()
     p_arrs = [np.asarray(a) for a in pdf["doc_ids"].to_numpy()]
 
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    band_pdf = (
-        sig.filter(F.col("h0").isNotNull()).select("doc_id", *band_cols).toPandas()
-    )
-
     spark = sh.sparkSession
     all_docs = (
         np.unique(np.concatenate(p_arrs)) if p_arrs else np.array([], dtype=object)
     )
     code = {d: i for i, d in enumerate(all_docs.tolist())}
-    postings = {
-        s: np.searchsorted(all_docs, a)
-        for s, a in zip(pdf["shingle"], p_arrs)
-    }
+    shingle_list = list(pdf["shingle"])
+    coded = [np.searchsorted(all_docs, a) for a in p_arrs]
+    postings = dict(zip(shingle_list, coded))
     sizes = np.zeros(len(all_docs), dtype=np.int64)
-    for ids in postings.values():
+    for ids in coded:
         sizes[ids] += 1
+    # r6: signatures and band hashes are DERIVED ON THE DRIVER from the
+    # already-collected postings index instead of running a second
+    # explode + per-seed-min aggregation job over the whole corpus:
+    # h_k(doc) = min over its shingles of md5('k:'+shingle), and with
+    # shingles processed in ASCENDING hash order each doc's first
+    # occurrence in the concatenated postings IS its minimum
+    # (np.unique(..., return_index=True) — md5 hex is fixed-width
+    # lowercase, so bytes order == the hash order Spark's min uses).
+    # hashlib.md5 hexdigest is bit-identical to Spark's md5().
+    import hashlib
+
+    n_all = len(all_docs)
+    rows_per_band = num_hashes // bands
+    lens = np.array([len(a) for a in coded], dtype=np.int64)
+    minh: list[np.ndarray] = []
+    if n_all:
+        for k in range(num_hashes):
+            h_vals = np.array(
+                [
+                    hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                    for s in shingle_list
+                ],
+                dtype="S32",
+            )
+            order = np.argsort(h_vals, kind="stable")
+            docs_concat = np.concatenate([coded[i] for i in order])
+            sh_idx = np.repeat(np.arange(len(order)), lens[order])
+            uniq, first = np.unique(docs_concat, return_index=True)
+            mk = np.zeros(n_all, dtype="S32")
+            mk[uniq] = h_vals[order][sh_idx[first]]
+            minh.append(mk)
     # per-band hash arrays, indexed by doc code; fixed-width bytes so the
     # band-agreement check on survivors is one vectorized compare
-    band_codes = np.array(
-        [code.get(d, -1) for d in band_pdf["doc_id"].tolist()], dtype=np.int64
-    )
     band_arrs = []
     hot_sets: list[set] = [set() for _ in range(bands)]
     for b in range(bands):
-        vals = band_pdf[f"band{b}"].to_numpy(dtype="S32")
-        if max_band_df is not None:
-            uniq, cnt = np.unique(vals, return_counts=True)
-            hot_sets[b] = {h.decode() for h in uniq[cnt > max_band_df]}
-        arr = np.zeros(len(all_docs), dtype="S32")
-        valid = band_codes >= 0
-        arr[band_codes[valid]] = vals[valid]
+        if n_all:
+            parts = [minh[b * rows_per_band + r] for r in range(rows_per_band)]
+            arr = np.array(
+                [
+                    hashlib.md5(b"|".join(p[i] for p in parts)).hexdigest()
+                    for i in range(n_all)
+                ],
+                dtype="S32",
+            )
+        else:
+            arr = np.zeros(0, dtype="S32")
+        if max_band_df is not None and n_all:
+            uniq_h, cnt = np.unique(arr, return_counts=True)
+            hot_sets[b] = {h.decode() for h in uniq_h[cnt > max_band_df]}
         band_arrs.append(arr)
     bc = spark.sparkContext.broadcast(
         (postings, np.array(all_docs.tolist(), dtype=object), sizes, code, band_arrs, hot_sets)
@@ -1358,8 +1384,8 @@ def lsh_jaccard_pairs_broadcast(
                         out["doc_a"].extend([doc_id] * k)
                         out["doc_b"].extend(names[cand[keep]])
                         out["jaccard"].extend(jac[keep])
-                for ids in touched:
-                    acc[ids] = 0
+                # memset reset (see ngram probe note)
+                acc.fill(0)
             yield pd.DataFrame(out)
 
     res = sh.mapInPandas(probe, schema=out_schema)

@@ -575,9 +575,16 @@ def label_propagation(
     handles."""
     from pyspark import StorageLevel
 
+    # cached pre-partitioned on the per-round join key with an explicit
+    # count (guide §2.4; same discipline as pagerank/hits): the edge
+    # table crosses the network once, only the label table shuffles per
+    # round, and the shuffle_hash hint keeps the cached edges streaming
+    # unsorted (guide §3.1)
+    par = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition(par, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
@@ -590,7 +597,7 @@ def label_propagation(
         labels = nodes.withColumn("label", F.col("node"))
         for _ in range(iterations):
             votes = (
-                e.join(labels, e["src"] == labels["node"])
+                e.join(labels.hint("shuffle_hash"), e["src"] == labels["node"])
                 .groupBy(F.col("dst"), F.col("label"))
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )

@@ -156,8 +156,14 @@ def _blocking_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_tokens = t.select(
         F.col("p_partkey").alias("entity_id"), F.explode(F.split("p_name", " ")).alias("token")
     ).distinct()
+    # both side counts in ONE scan job (r6) — s.count() + t.count() were
+    # two separate jobs over the same table
+    cnts = part.select(
+        F.sum((F.col("p_partkey") % 2 == 0).cast("long")).alias("s_n"),
+        F.sum((F.col("p_partkey") % 2 == 1).cast("long")).alias("t_n"),
+    ).first()
     return candidate_pairs_broadcast_index(
-        s_tokens, t_tokens, s.count(), t.count(),
+        s_tokens, t_tokens, cnts["s_n"] or 0, cnts["t_n"] or 0,
         idf_limit=DEMO_IDF_LIMIT, top_k=BLOCK_TOP_K,
     )
 
@@ -1104,7 +1110,11 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontoemma_spark.operators.graph import hits
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
-    li = _t(spark, sf_dir, "lineitem")
+    # derived-predicate pushdown (r6): on the equi-join key the orders
+    # filter implies l_orderkey % 3 = 0 — applying it to lineitem drops
+    # 2/3 of the big side BEFORE its shuffle (guide §2.3); Spark does
+    # not infer modular predicates across joins. Identical join output.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
     edges = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -3820,7 +3830,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontoemma_spark.operators.graph import pagerank
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
-    li = _t(spark, sf_dir, "lineitem")
+    # derived-predicate pushdown (r6): on the equi-join key the orders
+    # filter implies l_orderkey % 3 = 0 — applying it to lineitem drops
+    # 2/3 of the big side BEFORE its shuffle (guide §2.3); Spark does
+    # not infer modular predicates across joins. Identical join output.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
     base = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(

@@ -1022,3 +1022,63 @@ def test_scc_and_bow_tie_ignore_null_endpoints(spark):
     assert scc == {"a": "a", "b": "a"}
     bt = {r["node"]: r["cls"] for r in bow_tie_classes(edges).collect()}
     assert bt == {"a": "core", "b": "core"}
+
+
+def test_cc_unionfind_fast_path_equals_distributed(spark):
+    """r6: the guarded driver-side union-find fast path must label
+    exactly like the distributed hash-min loop — chains, self-loops,
+    nulls, string ids and all."""
+    from ontoemma_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            ("d", "c"), ("c", "b"), ("b", "a"),          # chain -> min 'a'
+            ("x", "x"),                                   # self-loop singleton
+            ("m", None), (None, "n"), (None, None),       # null endpoints
+            ("q", "r"), ("r", "q"),                       # cycle
+        ],
+        "src string, dst string",
+    )
+    fast = {(r["node"], r["component"])
+            for r in connected_components(edges).collect()}
+    slow = {(r["node"], r["component"])
+            for r in connected_components(edges, max_collect_edges=None).collect()}
+    assert fast == slow
+    assert ("a", "a") in fast and ("d", "a") in fast and ("x", "x") in fast
+
+
+def test_scc_and_bowtie_fast_paths_equal_distributed(spark):
+    """r6: guarded Tarjan/BFS fast paths must label exactly like the
+    distributed FW-BW coloring + sentinel propagation."""
+    from ontoemma_spark.operators.components import (
+        bow_tie_classes,
+        strongly_connected_components,
+    )
+
+    # two SCC rings, a DAG edge between them, IN/OUT periphery,
+    # a self-loop-only node, a disconnected pair
+    rows = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),     # ring A (core: 3 nodes)
+        ("b1", "b2"), ("b2", "b1"),                    # ring B
+        ("a1", "b1"),                                   # DAG A -> B
+        ("p", "a1"),                                    # IN
+        ("b2", "q"),                                    # OUT
+        ("s", "s"),                                     # self-loop singleton
+        ("u", "v"),                                     # tendril pair
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    fast_scc = {(r["node"], r["component"])
+                for r in strongly_connected_components(edges).collect()}
+    slow_scc = {(r["node"], r["component"])
+                for r in strongly_connected_components(
+                    edges, max_collect_edges=None).collect()}
+    assert fast_scc == slow_scc
+
+    fast_bt = {(r["node"], r["component"], r["cls"])
+               for r in bow_tie_classes(edges).collect()}
+    slow_bt = {(r["node"], r["component"], r["cls"])
+               for r in bow_tie_classes(edges, max_collect_edges=None).collect()}
+    assert fast_bt == slow_bt
+    cls = {n: c for n, _, c in fast_bt}
+    assert cls["a1"] == "core" and cls["p"] == "in" and cls["q"] == "out"
+    assert cls["s"] == "tendril_or_disconnected"
