@@ -10,10 +10,23 @@ Reference:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ontoemma_spark import config
+
+# Node count below which the per-round (node, rank) tables of the
+# iterative kernels (pagerank, hits) fit Spark's default 10 MB
+# autoBroadcastJoinThreshold (~20 B/row → 500k rows ≈ 10 MB) and the
+# per-round joins should be left to Catalyst's broadcast selection;
+# above it the co-partitioned-edge-cache + shuffle_hash shape applies
+# (see pagerank/hits bodies). Env-parameterised so a cluster with a
+# raised broadcast threshold can raise the gate to match.
+_BROADCAST_RANK_NODES = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_RANK_NODES", "500000")
+)
 
 
 def symmetric_closure(
@@ -191,36 +204,38 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # repartition by the per-round join key with an EXPLICIT partition
-    # count BEFORE persisting (guide §2.4: operations keyed the same
-    # way share one exchange): the cached table's hash partitioning on
-    # src is reused by every iteration's join, so only the (node-sized)
-    # rank table shuffles per round. The explicit count matters: a bare
-    # repartition("src") is AQE-coalescible, and a coalesced cache
-    # partitioning no longer matches the per-round join's requirement.
     par = edges.sparkSession.sparkContext.defaultParallelism
-    weighted = (
-        e.join(outdeg, "src")
-        .repartition(par, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    weighted = None
     try:
         n = nodes.count()
         if n == 0:
             # empty crawl slice: an empty (node, rank) frame, not a
             # driver-side ZeroDivisionError mid-pipeline
             return nodes.withColumn("rank", F.lit(0.0)).limit(0)
+        # Scale-adaptive per-round join strategy (r6): below
+        # _BROADCAST_RANK_NODES the (node, rank) table fits the default
+        # 10 MB autoBroadcast threshold, Catalyst broadcasts it, and the
+        # per-round join moves no data — forcing shuffle_hash there
+        # DISABLES that broadcast (measured 1.3x slower at sf0.1), and a
+        # key-partitioned edge cache buys nothing a broadcast join does
+        # not already give. Above it the rank table is too big to
+        # broadcast: pre-partition the edge cache ONCE on the per-round
+        # join key with an EXPLICIT partition count (guide §2.4; a bare
+        # repartition("src") is AQE-coalescible, and a coalesced cache
+        # partitioning no longer satisfies the per-round join) and hint
+        # shuffle_hash so only the rank table shuffles per round and the
+        # cached edges are never re-sorted by SMJ (guide §3.1).
+        big = n > _BROADCAST_RANK_NODES
+        w = e.join(outdeg, "src")
+        if big:
+            w = w.repartition(par, "src")
+        weighted = w.persist(StorageLevel.MEMORY_AND_DISK)
         base = (1.0 - damping) / n
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for it in range(iterations):
-            # shuffle_hash hint on the (node-sized) rank side: with the
-            # edge table cached pre-partitioned on src, a sort-merge
-            # join would still SORT the edges every round; a shuffled
-            # hash join builds its table from the small rank partition
-            # and streams the edges unsorted (guide §3.1)
             contribs = (
                 weighted.join(
-                    ranks.hint("shuffle_hash"),
+                    ranks.hint("shuffle_hash") if big else ranks,
                     weighted["src"] == ranks["node"],
                 )
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -241,7 +256,8 @@ def pagerank(
         # finally releases those caches
         return ranks.localCheckpoint(eager=True)
     finally:
-        weighted.unpersist()
+        if weighted is not None:
+            weighted.unpersist()
         nodes.unpersist()
         e.unpersist()
 
@@ -456,25 +472,37 @@ def hits(
     if dedupe:
         e = e.distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    # two key-partitioned cached copies of the edge table (guide §2.4):
-    # the authority half-step joins on src, the hub half-step on dst —
-    # pre-partitioning each copy once means the per-round joins shuffle
-    # only the (node-sized) rank tables, never the edges. Costs one
-    # extra cached copy of the edge list; saves 2 edge-table exchanges
-    # per iteration.
-    # explicit partition count: a bare repartition(key) is
-    # AQE-coalescible, and a coalesced cache partitioning would no
-    # longer match the per-round join requirement (exchange per round)
     par = edges.sparkSession.sparkContext.defaultParallelism
-    e_src = e.repartition(par, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    e_dst = e.repartition(par, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    big = False
+    e_src = e_dst = e
     try:
+        # Scale-adaptive per-round join strategy (r6) — same gate and
+        # rationale as `pagerank`: below _BROADCAST_RANK_NODES the rank
+        # tables broadcast and the per-round joins move no data, so the
+        # plain cached edge table is optimal; above it, keep TWO
+        # key-partitioned cached copies (guide §2.4: the authority
+        # half-step joins on src, the hub half-step on dst — each copy's
+        # cache partitioning satisfies its join, so only the node-sized
+        # rank tables shuffle per round), with an EXPLICIT partition
+        # count (a bare repartition(key) is AQE-coalescible) and a
+        # shuffle_hash hint so the cached edges stream unsorted instead
+        # of being re-sorted every round by SMJ (guide §3.1). Costs one
+        # extra cached copy of the edge list; saves 2 edge-table
+        # exchanges per iteration.
+        big = nodes.count() > _BROADCAST_RANK_NODES
+        if big:
+            e_src = e.repartition(par, "src").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            e_dst = e.repartition(par, "dst").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         # SPARSE iteration: a missing row in hubs/auths means 0.0, and
         # zero entries contribute nothing to the next round's sums — so
         # the per-round dense zero-fill (a left join against `nodes`)
@@ -492,13 +520,10 @@ def hits(
         hubs = nodes.withColumn("hub", F.lit(1.0))
         auths = None
         for it in range(iterations):
-            # shuffle_hash hint on the (node-sized) rank side: the
-            # cached key-partitioned edge copies stream unsorted into a
-            # hash join instead of being re-sorted every round by a
-            # sort-merge join (guide §3.1)
             auths = (
                 e_src.join(
-                    hubs.hint("shuffle_hash"), e_src["src"] == hubs["node"]
+                    hubs.hint("shuffle_hash") if big else hubs,
+                    e_src["src"] == hubs["node"],
                 )
                 .groupBy("dst")
                 .agg(F.sum("hub").alias("authority"))
@@ -506,7 +531,8 @@ def hits(
             )
             hubs = (
                 e_dst.join(
-                    auths.hint("shuffle_hash"), e_dst["dst"] == auths["node"]
+                    auths.hint("shuffle_hash") if big else auths,
+                    e_dst["dst"] == auths["node"],
                 )
                 .groupBy("src")
                 .agg(F.sum("authority").alias("hub"))
@@ -544,8 +570,9 @@ def hits(
             (F.col("hub") / F.lit(sh)).alias("hub"),
         )
     finally:
-        e_src.unpersist()
-        e_dst.unpersist()
+        if big:
+            e_src.unpersist()
+            e_dst.unpersist()
         e.unpersist()
         nodes.unpersist()
 
