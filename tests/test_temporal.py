@@ -152,8 +152,13 @@ def test_scc_empty_and_round_bound(spark):
          ("d", "e"), ("e", "f"), ("f", "e")],
         "src string, dst string",
     )
+    # the round bound is a property of the DISTRIBUTED coloring loop;
+    # disable the r6 driver-side Tarjan fast path (which legitimately
+    # returns the exact answer with no rounds at all) to reach it
     with pytest.raises(RuntimeError, match="did not settle"):
-        strongly_connected_components(chain, max_rounds=1)
+        strongly_connected_components(
+            chain, max_rounds=1, max_collect_edges=None
+        )
     got = {r["node"]: r["component"] for r in
            strongly_connected_components(chain).collect()}
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e", "f": "e"}
